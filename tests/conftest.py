@@ -1,0 +1,22 @@
+"""Test configuration: force a virtual 8-device CPU mesh before JAX import.
+
+Multi-chip sharding logic is validated on host CPU devices
+(XLA_FLAGS=--xla_force_host_platform_device_count=8), mirroring how the
+driver dry-run-compiles the multi-chip path.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
