@@ -32,7 +32,7 @@ def save_checkpoint(path: str, payload: dict[str, Any]) -> str:
     state = dict(payload)
     for k in ("model", "optimizer"):
         if state.get(k) is not None:
-            state[k] = _to_numpy_tree(state[k])
+            state[k] = _to_numpy_tree(serialization.to_state_dict(state[k]))
     blob = serialization.msgpack_serialize(
         {"state": {k: v for k, v in state.items() if k != "config"},
          "config_json": json.dumps(state.get("config", {}), default=str)}
@@ -53,17 +53,14 @@ def load_checkpoint(path: str) -> dict[str, Any]:
 
 
 def restore_like(template, loaded):
-    """Restore a loaded (dict-of-dicts numpy) pytree into the structure and
-    dtypes of ``template``."""
-    flat_t, treedef = jax.tree.flatten(template)
-    flat_l = jax.tree.leaves(loaded)
-    if len(flat_t) != len(flat_l):
-        raise ValueError(
-            f"checkpoint mismatch: {len(flat_l)} leaves vs {len(flat_t)}")
-    return jax.tree.unflatten(
-        treedef,
-        [jnp.asarray(l, dtype=t.dtype) for t, l in zip(flat_t, flat_l)],
-    )
+    """Restore a loaded state-dict into the structure/dtypes of ``template``
+    (works for param dicts and optax namedtuple states)."""
+    from flax import serialization
+
+    restored = serialization.from_state_dict(template, loaded)
+    return jax.tree.map(
+        lambda t, l: jnp.asarray(l, dtype=getattr(t, "dtype", None)),
+        template, restored)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,31 @@
+#!/usr/bin/env python
+"""Train a model from a YAML config (reference-compatible CLI,
+``/root/reference/train.py:205-230``):
+
+    python train.py --config_file configs/config_ves_seg-S.yml \
+        [--start_epoch N] [--epoch latest] [--split 0] [--num_workers N] \
+        [--Section.key value ...]
+"""
+import argparse
+from random import randint
+
+from octa_tpu.utils.config import apply_cli_overrides, load_config
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="")
+    parser.add_argument("--config_file", type=str, required=True)
+    parser.add_argument("--start_epoch", type=int, default=0)
+    parser.add_argument("--epoch", type=str, default="latest")
+    parser.add_argument("--split", type=str, default="")
+    parser.add_argument("--save_latest", type=bool, default=True)
+    parser.add_argument("--num_workers", type=int, default=None)
+    args, unknown = parser.parse_known_args()
+
+    config = load_config(args.config_file)
+    apply_cli_overrides(config, unknown)
+    if "seed" not in config["General"]:
+        config["General"]["seed"] = randint(0, int(1e6))
+
+    from octa_tpu.train.engine import train
+
+    train(args, config)
