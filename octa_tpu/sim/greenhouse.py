@@ -1,0 +1,710 @@
+"""Batched, jit-compiled space-colonization vessel growth.
+
+TPU-native rebuild of the reference's Greenhouse
+(``vessel_graph_generation/greenhouse.py``): instead of anytree pointer
+nodes + a cKDTree rebuilt on every insert (``element_mesh.py:97-101``), the
+forest is a fixed-capacity structure-of-arrays and every step is a masked,
+vectorized computation:
+
+- oxygen-sink sampling with the Schneider-2012 oxygen heuristic
+  (``greenhouse.py:309-341``), mutual eps_s spacing via a blocked greedy
+  accept (16 sequential blocks instead of 2000 sequential candidates),
+- nearest-active-node attraction assignment as chunked distance minima
+  (``greenhouse.py:343-366``),
+- per-node growth: leaf elongation with the FAZ rotation field, Murray-law
+  bifurcation with a power-iteration PCA split direction, and Rodrigues
+  inter-node sprouting (``greenhouse.py:157-307``),
+- Murray radius back-propagation as parallel scatter-add sweeps
+  (``arterial_tree.py:174-184``),
+- simulation-space expansion by rescaling the distance parameters
+  (``greenhouse.py:139-155``).
+
+One ``lax.fori_loop`` iteration grows both forests; ``jax.vmap`` over the
+batch axis grows many independent samples per chip. The irreducible
+sequential dependency is across iterations only.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GEOMETRY_SIZE = 76
+
+
+# ---------------------------------------------------------------------------
+# State
+# ---------------------------------------------------------------------------
+
+class ForestState(NamedTuple):
+    pos: jax.Array          # [NC, 3]
+    radius: jax.Array       # [NC]
+    parent: jax.Array       # [NC] int32, -1 for roots/empty
+    first_child: jax.Array  # [NC] int32, -1 if none
+    n_children: jax.Array   # [NC] int32
+    is_root: jax.Array      # [NC] bool
+    n_nodes: jax.Array      # scalar int32
+
+
+class SinkState(NamedTuple):
+    pos: jax.Array    # [SC, 3]
+    alive: jax.Array  # [SC] bool
+
+
+class GrowthState(NamedTuple):
+    art: ForestState
+    ven: ForestState
+    oxy: SinkState
+    co2: SinkState
+    sigma_t: jax.Array
+    d_cur: jax.Array       # current inter-node distance (compounds per mode)
+    faz_radius: jax.Array  # per-sim sampled FAZ radius (sim units)
+    key: jax.Array
+
+
+class ModeParams(NamedTuple):
+    """Static per-mode parameters. eps/delta are the RAW config values: the
+    reference uses them *undivided* on the first iteration of each mode and
+    only applies /(param_scale * sigma_t) after the first expansion
+    (``greenhouse.py:34-51,139-147`` — init_params_from_config stores raw
+    values; orig_scale divides by param_scale; sigma resets per mode)."""
+    I: int
+    N: int
+    eps_n: float
+    eps_s: float
+    eps_k: float
+    delta_art: float
+    delta_ven: float
+    gamma_art: float
+    gamma_ven: float
+    phi: float
+    omega: float
+    kappa: float
+    delta_sigma: float
+    first_mode: bool
+
+
+# ---------------------------------------------------------------------------
+# Geometry helpers
+# ---------------------------------------------------------------------------
+
+def _norm(v, axis=-1, eps=1e-12):
+    return v / (jnp.linalg.norm(v, axis=axis, keepdims=True) + eps)
+
+
+def _angle_deg(u, v, axis=-1):
+    """Angle in degrees between vectors (reference utilities
+    ``get_angle_between_vectors``)."""
+    un = _norm(u, axis)
+    vn = _norm(v, axis)
+    cos = jnp.clip(jnp.sum(un * vn, axis=axis), -1.0, 1.0)
+    return jnp.degrees(jnp.arccos(cos))
+
+
+def _oxygen_distance(r, param_scale):
+    """Schneider-2012 oxygen concentration heuristic
+    (``greenhouse.py:309-317``)."""
+    c_oxygen = 203.9e-3
+    kappa = 0.02 * c_oxygen
+    r0 = 3.5e-3
+    x = r * param_scale / r0
+    c1 = kappa * x * jnp.exp(1.0 - x)
+    return c1 * 6.0 / param_scale
+
+
+def _chunked_nearest(query, points, valid, chunk=2048):
+    """(min_dist, argmin) from each query [Q,3] to valid points [NC,3]."""
+    nc = points.shape[0]
+    n_chunks = -(-nc // chunk)
+    pad = n_chunks * chunk - nc
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    val = jnp.pad(valid, (0, pad))
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        pts_c, val_c, base = inp
+        d = jnp.linalg.norm(query[:, None, :] - pts_c[None, :, :], axis=-1)
+        d = jnp.where(val_c[None, :], d, jnp.inf)
+        dmin = jnp.min(d, axis=1)
+        imin = jnp.argmin(d, axis=1) + base
+        upd = dmin < best_d
+        return (jnp.where(upd, dmin, best_d),
+                jnp.where(upd, imin, best_i)), None
+
+    pts_c = pts.reshape(n_chunks, chunk, 3)
+    val_c = val.reshape(n_chunks, chunk)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    init = (jnp.full((query.shape[0],), jnp.inf),
+            jnp.zeros((query.shape[0],), jnp.int32))
+    (d, i), _ = jax.lax.scan(body, init, (pts_c, val_c, bases))
+    return d, i
+
+
+def _chunked_min_dist_subset(query, points, valid, chunk=2048):
+    d, _ = _chunked_nearest(query, points, valid, chunk)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Oxygen sink sampling
+# ---------------------------------------------------------------------------
+
+def _sample_candidates(key, n_cand, faz_center, faz_radius_sim, size_z):
+    """Candidate sink positions: jittered voxels of the 76x76x1 grid with the
+    FAZ disc carved out (``simulation_space.py:36-54``; the validity test is
+    evaluated per-candidate instead of materializing the voxel list)."""
+    k1, k2 = jax.random.split(key)
+    vox = jax.random.randint(k1, (n_cand, 2), 0, GEOMETRY_SIZE)
+    jitter = jax.random.uniform(k2, (n_cand, 3))
+    # reference geometry: (x - cx)^2 + (y - cy)^2 > (faz_r*G*0.5)^2 on voxels
+    cx = faz_center[0] * GEOMETRY_SIZE
+    cy = faz_center[1] * GEOMETRY_SIZE
+    rr = faz_radius_sim * GEOMETRY_SIZE * 0.5
+    valid = ((vox[:, 0] - cx) ** 2 + (vox[:, 1] - cy) ** 2) > rr**2
+    pos = jnp.concatenate(
+        [(vox.astype(jnp.float32) + jitter[:, :2]) / GEOMETRY_SIZE,
+         (jitter[:, 2:3] * size_z * GEOMETRY_SIZE) / GEOMETRY_SIZE], axis=-1)
+    return pos, valid
+
+
+def _blocked_greedy_spacing(pos, valid, eps_s, n_blocks=64):
+    """Accept candidates in order; a candidate is rejected if it conflicts
+    (dist <= eps_s) with an accepted earlier candidate. Processed in
+    ``n_blocks`` sequential blocks; within a block the conservative rule
+    (conflict with any earlier *valid* candidate) is used — a close, slightly
+    stricter approximation of the reference's fully sequential greedy
+    (``greenhouse.py:334-340``)."""
+    n = pos.shape[0]
+    bs = -(-n // n_blocks)
+    pad = n_blocks * bs - n
+    pos_p = jnp.pad(pos, ((0, pad), (0, 0)))
+    val_p = jnp.pad(valid, (0, pad))
+    pos_b = pos_p.reshape(n_blocks, bs, 3)
+    val_b = val_p.reshape(n_blocks, bs)
+    acc_mask0 = jnp.zeros((n_blocks * bs,), bool)
+
+    def scan_body(carry, i):
+        acc_mask = carry
+        p = pos_b[i]
+        v = val_b[i]
+        d_prev = jnp.linalg.norm(
+            p[:, None, :] - pos_p[None, :, :], axis=-1)
+        conflict_prev = jnp.any((d_prev <= eps_s) & acc_mask[None, :], axis=1)
+        d_intra = jnp.linalg.norm(p[:, None, :] - p[None, :, :], axis=-1)
+        earlier = jnp.tril(jnp.ones((bs, bs), bool), k=-1)
+        conflict_intra = jnp.any(
+            (d_intra <= eps_s) & earlier & v[None, :], axis=1)
+        accept = v & ~conflict_prev & ~conflict_intra
+        acc_mask = jax.lax.dynamic_update_slice(acc_mask, accept, (i * bs,))
+        return acc_mask, None
+
+    acc_mask, _ = jax.lax.scan(scan_body, acc_mask0,
+                               jnp.arange(n_blocks, dtype=jnp.int32))
+    return acc_mask[:n]
+
+
+def _append_sinks(sinks: SinkState, pos, accept) -> SinkState:
+    """Scatter accepted candidates into free sink slots (compaction)."""
+    sc = sinks.pos.shape[0]
+    free = ~sinks.alive
+    n_free = jnp.sum(free)
+    # free slot ids in index order, free-first (stable sort of "not free")
+    free_slots = jnp.argsort(~free, stable=True).astype(jnp.int32)
+    acc_rank = jnp.cumsum(accept) - 1
+    can_place = accept & (acc_rank < n_free)
+    target = jnp.where(
+        can_place, free_slots[jnp.clip(acc_rank, 0, sc - 1)], sc)
+    new_pos = sinks.pos.at[target].set(pos, mode="drop")
+    new_alive = sinks.alive.at[target].set(True, mode="drop")
+    return SinkState(new_pos, new_alive)
+
+
+# ---------------------------------------------------------------------------
+# Growth
+# ---------------------------------------------------------------------------
+
+def _power_iteration_3x3(M, iters=24):
+    """Principal eigenvector of symmetric 3x3 matrices [N, 3, 3]."""
+    v = jnp.broadcast_to(
+        jnp.asarray([0.6, 0.7, 0.38], jnp.float32), M.shape[:-2] + (3,))
+
+    def body(i, v):
+        w = jnp.einsum("...ij,...j->...i", M, v)
+        return _norm(w)
+
+    return jax.lax.fori_loop(0, iters, body, v)
+
+
+def _rodrigues(v, axis, theta_deg):
+    th = jnp.radians(theta_deg)[..., None]
+    cos, sin = jnp.cos(th), jnp.sin(th)
+    return (v * cos + jnp.cross(axis, v) * sin
+            + axis * jnp.sum(axis * v, axis=-1, keepdims=True) * (1 - cos))
+
+
+def _grow(forest: ForestState, sinks: SinkState, *, gamma, delta, d, r,
+          kappa, phi, omega, faz_center, faz_radius, rotation_radius,
+          first_mode, t, key, murray_sweeps=8):
+    """One growth pass for one forest; returns (forest', satisfied_mask_fn)
+    where the caller uses the returned new-node window for sink conversion."""
+    nc = forest.pos.shape[0]
+    sc = sinks.pos.shape[0]
+    active = (forest.n_children < 2) & (jnp.arange(nc) < forest.n_nodes)
+
+    # --- attraction assignment (nearest active node within delta) ---
+    dist, idx = _chunked_nearest(sinks.pos, forest.pos, active)
+    assigned = jnp.where(sinks.alive & (dist <= delta), idx, -1)
+    has_assign = assigned >= 0
+    aidx = jnp.clip(assigned, 0, nc - 1)
+
+    npos = forest.pos[aidx]
+    nparent = jnp.clip(forest.parent[aidx], 0, nc - 1)
+    v_prox = npos - forest.pos[nparent]
+    nchild = jnp.clip(forest.first_child[aidx], 0, nc - 1)
+    v_dist = forest.pos[nchild] - npos
+
+    att_vec = sinks.pos - npos
+    att_dir = _norm(att_vec)
+    ang_prox = _angle_deg(v_prox, att_vec)
+    ang_dist = _angle_deg(v_dist, att_vec)
+
+    node_is_leaf = (forest.n_children[aidx] == 0) & ~forest.is_root[aidx]
+    node_is_inter = (forest.n_children[aidx] == 1) & ~forest.is_root[aidx]
+
+    # Murray angles per assigned node
+    r1_inter = forest.radius[nchild]
+    rp_inter = (r1_inter**kappa + r**kappa) ** (1.0 / kappa)
+
+    def _acos_deg(x):
+        return jnp.degrees(jnp.arccos(jnp.clip(x, -1.0, 1.0)))
+
+    phi1_i = _acos_deg((rp_inter**4 + r1_inter**4 - r**4)
+                       / (2 * rp_inter**2 * r1_inter**2))
+    phi2_i = _acos_deg((rp_inter**4 + r**4 - r1_inter**4)
+                       / (2 * rp_inter**2 * r**2))
+
+    leaf_ok = ang_prox <= jnp.maximum(gamma / 2, 0.0)
+    inter_ok = ((phi1_i + phi2_i - gamma / 2 <= ang_dist)
+                & (ang_dist <= phi1_i + phi2_i + gamma / 2)
+                & (ang_prox <= phi2_i + gamma / 2))
+    valid_sink = has_assign & jnp.where(
+        node_is_leaf, leaf_ok, jnp.where(node_is_inter, inter_ok, False))
+
+    seg = jnp.where(valid_sink, aidx, nc)  # scatter target (nc = dropped)
+
+    def segsum(x):
+        shape = (nc + 1,) + x.shape[1:]
+        return jnp.zeros(shape, jnp.float32).at[seg].add(
+            jnp.where(valid_sink.reshape((-1,) + (1,) * (x.ndim - 1)),
+                      x.astype(jnp.float32), 0.0))[:nc]
+
+    cnt = segsum(jnp.ones((sc,)))
+    sum_dir = segsum(att_dir)
+    sum_ang = segsum(ang_prox)
+    sum_ang2 = segsum(ang_prox**2)
+    sum_att = segsum(sinks.pos)
+    sum_outer = segsum(sinks.pos[:, :, None] * sinks.pos[:, None, :])
+
+    has = cnt > 0
+    n = jnp.maximum(cnt, 1.0)
+    mean_ang = sum_ang / n
+    std_ang = jnp.sqrt(jnp.maximum(sum_ang2 / n - mean_ang**2, 0.0))
+    avg_attr = sum_dir  # unnormalized sum of unit vectors (reference)
+    c_mean = sum_att / n[:, None]
+    # covariance of (atts - c): reference divides by (n-1); direction-invariant
+    M = sum_outer - n[:, None, None] * (c_mean[:, :, None] * c_mean[:, None, :])
+
+    is_leaf_n = (forest.n_children == 0) & ~forest.is_root & active
+    is_inter_n = (forest.n_children == 1) & ~forest.is_root & active
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    u_bif = jax.random.uniform(k1, (nc,))
+    u_sprout = jax.random.uniform(k2, (nc,))
+
+    vec_center = jnp.concatenate(
+        [faz_center - forest.pos[:, :2],
+         jnp.zeros((nc, 1))], axis=-1)
+    dist_center = jnp.linalg.norm(vec_center[:, :2], axis=-1)
+    ang_center_attr = _angle_deg(vec_center[:, :2], avg_attr[:, :2])
+
+    faz_term = (dist_center / (2 * faz_radius + 1e-12)) ** 5
+    bif_rand_ok = (faz_radius == 0) | ((faz_term > u_bif)
+                                       & (ang_center_attr > 90.0))
+
+    # ---- leaf bifurcation ----
+    bifurcate = is_leaf_n & has & (std_ang > phi) & bif_rand_ok
+    rp_leaf = (2.0 * r**kappa) ** (1.0 / kappa)
+    phi_leaf = _acos_deg(rp_leaf**2 / (2 * r**2))
+    d_parent_c = _norm(c_mean - forest.pos)
+    d_l = _power_iteration_3x3(M)
+    cosp, sinp = (jnp.cos(jnp.radians(phi_leaf)),
+                  jnp.sin(jnp.radians(phi_leaf)))
+    p_new_1 = forest.pos + _norm(cosp * d_parent_c + sinp * d_l) * d
+    p_new_2 = forest.pos + _norm(cosp * d_parent_c - sinp * d_l) * d
+
+    # ---- leaf elongation ----
+    par = jnp.clip(forest.parent, 0, nc - 1)
+    v_prox_n = forest.pos - forest.pos[par]
+    g = omega * _norm(v_prox_n) + (1 - omega) * _norm(avg_attr)
+    if rotation_radius > 0:
+        gn = _norm(g)
+        center_vec = _norm(vec_center)
+        new_pos_tmp = forest.pos + d * gn
+        dist_new = jnp.linalg.norm(
+            faz_center - new_pos_tmp[:, :2], axis=-1)
+        floor = 0.0 if first_mode else 0.01
+        weight = jnp.sqrt(jnp.maximum(floor, rotation_radius - dist_new))
+        ort = jnp.stack([-center_vec[:, 1], center_vec[:, 0],
+                         jnp.zeros((nc,))], axis=-1)
+        flip = _angle_deg(gn[:, :2], ort[:, :2]) > 90.0
+        ort = jnp.where(flip[:, None], -ort, ort)
+        out_vec = jnp.stack([-center_vec[:, 0], -center_vec[:, 1],
+                             jnp.zeros((nc,))], axis=-1)
+        g_rot = ((1 - weight)[:, None] * gn + 0.7 * weight[:, None] * ort
+                 + 0.3 * weight[:, None] * out_vec)
+        apply_rot = jnp.asarray(t > 15)
+        g = jnp.where(apply_rot, g_rot, g)
+    p_elong = forest.pos + d * _norm(g)
+    elongate = is_leaf_n & has & ~bifurcate
+
+    # ---- inter-node sprouting (Rodrigues) ----
+    child = jnp.clip(forest.first_child, 0, nc - 1)
+    distal = _norm(forest.pos[child] - forest.pos)
+    cross = jnp.cross(distal, avg_attr)
+    cross_zero = jnp.all(cross == 0.0, axis=-1)
+    sprout_rand_skip = ((faz_term <= u_sprout)
+                        & (ang_center_attr <= 90.0)) & (faz_radius != 0)
+    sprout = is_inter_n & has & ~cross_zero & ~sprout_rand_skip
+    rot_axis = _norm(cross)
+    # inter-node phi2 per node
+    r1_n = forest.radius[child]
+    rp_n = (r1_n**kappa + r**kappa) ** (1.0 / kappa)
+    phi2_n = _acos_deg((rp_n**4 + r**4 - r1_n**4) / (2 * rp_n**2 * r**2))
+    v_rot = _rodrigues(distal, rot_axis, phi2_n)
+    g_s = omega * _norm(v_rot) + (1 - omega) * _norm(avg_attr)
+    p_sprout = forest.pos + d * _norm(g_s)
+
+    # ---- emit new nodes ----
+    n_emit = (2 * bifurcate + 1 * elongate + 1 * sprout).astype(jnp.int32)
+    offs = forest.n_nodes + jnp.cumsum(n_emit) - n_emit
+    fits = (offs + n_emit) <= nc
+    n_emit = jnp.where(fits, n_emit, 0)
+    total_new = jnp.sum(n_emit)
+
+    first_pos = jnp.where(bifurcate[:, None], p_new_1,
+                          jnp.where(elongate[:, None], p_elong, p_sprout))
+    emit1 = (n_emit >= 1)
+    emit2 = (n_emit >= 2) & bifurcate
+    t1 = jnp.where(emit1, offs, nc)
+    t2 = jnp.where(emit2, offs + 1, nc)
+
+    pos = forest.pos.at[t1].set(first_pos, mode="drop")
+    pos = pos.at[t2].set(p_new_2, mode="drop")
+    radius = forest.radius.at[t1].set(r, mode="drop")
+    radius = radius.at[t2].set(r, mode="drop")
+    parent_idx = jnp.arange(nc, dtype=jnp.int32)
+    parent = forest.parent.at[t1].set(parent_idx, mode="drop")
+    parent = parent.at[t2].set(parent_idx, mode="drop")
+    # first_child only set when the node had no children yet
+    set_fc = emit1 & (forest.n_children == 0)
+    first_child = forest.first_child.at[
+        jnp.where(set_fc, parent_idx, nc)].set(t1, mode="drop")
+    n_children = forest.n_children + n_emit
+    is_root = forest.is_root.at[t1].set(False, mode="drop")
+    is_root = is_root.at[t2].set(False, mode="drop")
+    n_nodes = forest.n_nodes + total_new
+
+    new_forest = ForestState(pos, radius, parent, first_child, n_children,
+                             is_root, n_nodes)
+
+    # ---- Murray radius sweeps (optimize_edge_radius_to_root) ----
+    def murray(i, f: ForestState):
+        exists = jnp.arange(nc) < f.n_nodes
+        rk = jnp.where(exists, f.radius**kappa, 0.0)
+        par_t = jnp.where(exists & (f.parent >= 0), f.parent, nc)
+        child_sum = jnp.zeros((nc + 1,), jnp.float32).at[par_t].add(rk)[:nc]
+        is_internal = (f.n_children >= 1) & ~f.is_root & exists
+        new_r = jnp.where(is_internal,
+                          child_sum ** (1.0 / kappa), f.radius)
+        return f._replace(radius=new_r)
+
+    new_forest = jax.lax.fori_loop(0, murray_sweeps, murray, new_forest)
+
+    new_window = (jnp.arange(nc) >= forest.n_nodes) & (jnp.arange(nc) < n_nodes)
+    return new_forest, new_window
+
+
+# ---------------------------------------------------------------------------
+# Iteration driver
+# ---------------------------------------------------------------------------
+
+def _sinks_near_new_nodes(sinks: SinkState, forest: ForestState,
+                          new_window, eps_k):
+    """Mask of alive sinks within eps_k of any node in ``new_window``
+    (steps 3/5 of the main loop, ``greenhouse.py:99-123``)."""
+    d = _chunked_min_dist_subset(sinks.pos, forest.pos, new_window)
+    return sinks.alive & (d <= eps_k)
+
+
+def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
+               param_scale, r0, rotation_radius, faz_center, size_z,
+               n_cand, murray_sweeps=8) -> GrowthState:
+    """One greenhouse iteration (``greenhouse.py:90-126``).
+
+    ``i`` is the within-mode index: at i==0 the raw mode parameters apply
+    (the reference quirk above); afterwards params = raw/(param_scale*sigma).
+    """
+    key, k_cand, k_art, k_ven = jax.random.split(state.key, 4)
+
+    first = i == 0
+    denom = jnp.where(first, 1.0, param_scale * state.sigma_t)
+    eps_n = mp.eps_n / denom
+    eps_s = mp.eps_s / denom
+    eps_k = mp.eps_k / denom
+    delta_art = mp.delta_art / denom
+    delta_ven = mp.delta_ven / denom
+    d = jnp.where(
+        first, d_start,
+        jnp.maximum(d_start / state.sigma_t, 0.04 / param_scale))
+
+    # --- 1. sample oxygen sinks ---
+    cand, valid = _sample_candidates(k_cand, n_cand, faz_center,
+                                     state.faz_radius, size_z)
+    # reject near arterial nodes (within eps_n AND inside the oxygen radius)
+    nc = state.art.pos.shape[0]
+    exists = jnp.arange(nc) < state.art.n_nodes
+    dist_art, aidx = _chunked_nearest(cand, state.art.pos, exists)
+    oxy_d = _oxygen_distance(state.art.radius[jnp.clip(aidx, 0, nc - 1)],
+                             param_scale)
+    near_bad = (dist_art <= jnp.maximum(eps_n, eps_k)) & (dist_art <= oxy_d)
+    valid &= ~near_bad
+    # reject near existing oxygen sinks
+    d_oxy = _chunked_min_dist_subset(cand, state.oxy.pos, state.oxy.alive)
+    valid &= d_oxy > eps_s
+    # mutual spacing (blocked greedy)
+    accept = _blocked_greedy_spacing(cand, valid, eps_s)
+    oxy = _append_sinks(state.oxy, cand, accept)
+
+    # --- 2. arterial growth ---
+    art, art_new = _grow(
+        state.art, oxy, gamma=mp.gamma_art, delta=delta_art, d=d, r=r0,
+        kappa=mp.kappa, phi=mp.phi, omega=mp.omega, faz_center=faz_center,
+        faz_radius=state.faz_radius, rotation_radius=rotation_radius,
+        first_mode=mp.first_mode, t=t, key=k_art,
+        murray_sweeps=murray_sweeps)
+
+    # --- 3. satisfied oxygen sinks -> CO2 sources ---
+    satisfied = _sinks_near_new_nodes(oxy, art, art_new, eps_k)
+    ven_exists = jnp.arange(nc) < state.ven.n_nodes
+    d_ven = _chunked_min_dist_subset(oxy.pos, state.ven.pos, ven_exists)
+    to_co2 = satisfied & (d_ven > eps_k)
+    co2 = _append_sinks(state.co2, oxy.pos, to_co2)
+    oxy = SinkState(oxy.pos, oxy.alive & ~satisfied)
+
+    # --- 4. venous growth on CO2 ---
+    ven, ven_new = _grow(
+        state.ven, co2, gamma=mp.gamma_ven, delta=delta_ven, d=d, r=r0,
+        kappa=mp.kappa, phi=mp.phi, omega=mp.omega, faz_center=faz_center,
+        faz_radius=state.faz_radius, rotation_radius=rotation_radius,
+        first_mode=mp.first_mode, t=t, key=k_ven,
+        murray_sweeps=murray_sweeps)
+
+    # --- 5. satisfied CO2 sinks removed ---
+    co2_done = _sinks_near_new_nodes(co2, ven, ven_new, eps_k)
+    co2 = SinkState(co2.pos, co2.alive & ~co2_done)
+
+    # --- 6. simulation space expansion ---
+    sigma = state.sigma_t + mp.delta_sigma
+    d_cur = jnp.maximum(d_start / sigma, 0.04 / param_scale)
+
+    return GrowthState(art, ven, oxy, co2, sigma, d_cur,
+                       state.faz_radius, key)
+
+
+def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
+             r0, rotation_radius, faz_center, size_z,
+             murray_sweeps=8) -> GrowthState:
+    """Run all iterations of one mode under lax.fori_loop. Sigma resets to 1
+    at mode entry and ``d`` continues (compounds) from the previous mode,
+    as in ``init_params_from_config`` (``greenhouse.py:34-51``)."""
+    n_cand = int(mp.N)
+    d_start = state.d_cur
+    state = state._replace(sigma_t=jnp.float32(1.0))
+
+    def body(i, st):
+        return _iteration(
+            st, mp, i, t0 + i, d_start, param_scale=param_scale,
+            r0=r0, rotation_radius=rotation_radius, faz_center=faz_center,
+            size_z=size_z, n_cand=n_cand, murray_sweeps=murray_sweeps)
+
+    return jax.lax.fori_loop(0, mp.I, body, state)
+
+
+# ---------------------------------------------------------------------------
+# Forest initialization + Greenhouse driver
+# ---------------------------------------------------------------------------
+
+def init_forest_stumps(rng: np.random.Generator, n_trees: int,
+                       source_walls: list[str], d0: float, r0: float,
+                       sizes: tuple[float, float, float],
+                       node_capacity: int) -> ForestState:
+    """'stumps' initialization (``forest.py:68-181``): tree roots on the
+    lateral faces of the cuboid, first segment pointing inward. Host-side
+    numpy (tiny)."""
+    sx, sy, sz = sizes
+    pos = np.zeros((node_capacity, 3), np.float32)
+    radius = np.zeros((node_capacity,), np.float32)
+    parent = np.full((node_capacity,), -1, np.int32)
+    first_child = np.full((node_capacity,), -1, np.int32)
+    n_children = np.zeros((node_capacity,), np.int32)
+    is_root = np.zeros((node_capacity,), bool)
+    i = 0
+    for _ in range(n_trees):
+        wall = source_walls[int(rng.integers(0, len(source_walls)))]
+        ax = {"x": 0, "y": 1, "z": 2}[wall[0]]
+        hi = wall[1] == "1"
+        other = [a for a in range(3) if a != ax]
+        sizes_arr = np.array([sx, sy, sz])
+        p = np.zeros(3)
+        p[ax] = sizes_arr[ax] - 1e-6 if hi else 0.0
+        p[other[0]] = rng.uniform(0, sizes_arr[other[0]])
+        p[other[1]] = rng.uniform(0, sizes_arr[other[1]])
+        direction = np.zeros(3)
+        direction[ax] = rng.uniform(-1, -0.1) if hi else rng.uniform(0.1, 1)
+        for o in other:
+            lo_ok = p[o] - d0 > 0
+            hi_ok = p[o] + d0 < sizes_arr[o]
+            direction[o] = rng.uniform(-1 if lo_ok else 0, 1 if hi_ok else 0)
+        direction = direction / np.linalg.norm(direction) * d0
+        # root
+        pos[i] = p
+        radius[i] = r0
+        is_root[i] = True
+        n_children[i] = 1
+        first_child[i] = i + 1
+        # stump node
+        pos[i + 1] = p + direction
+        radius[i + 1] = r0
+        parent[i + 1] = i
+        i += 2
+    return ForestState(
+        jnp.asarray(pos), jnp.asarray(radius), jnp.asarray(parent),
+        jnp.asarray(first_child), jnp.asarray(n_children),
+        jnp.asarray(is_root), jnp.int32(i))
+
+
+class Greenhouse:
+    """Config-driven growth driver (reference ``Greenhouse``,
+    ``greenhouse.py:15-137``), batched: ``develop_forest(batch)`` grows
+    ``batch`` independent samples in one vmapped, jit-compiled program."""
+
+    def __init__(self, config: dict, node_capacity: int = 16384,
+                 sink_capacity: int = 8192, seed: int = 0):
+        self.config = config
+        self.param_scale = config["param_scale"]
+        self.d = config["d"] / self.param_scale
+        self.r = config["r"] / self.param_scale
+        self.faz_bound = (config["FAZ_radius_bound"][0] / self.param_scale,
+                          config["FAZ_radius_bound"][1] / self.param_scale)
+        self.rotation_radius = config["rotation_radius"] / self.param_scale
+        self.faz_center = np.asarray(config["FAZ_center"], np.float32)
+        ss = config["SimulationSpace"]
+        if ss.get("oxygen_sample_geometry_path"):
+            geo = np.load(ss["oxygen_sample_geometry_path"])
+            gs = max(geo.shape)
+            self.sizes = tuple(np.array(geo.shape) / gs)
+        else:
+            self.sizes = (ss["no_voxel_x"], ss["no_voxel_y"], ss["no_voxel_z"])
+        self.node_capacity = node_capacity
+        self.sink_capacity = sink_capacity
+        self.seed = seed
+        self.modes = [
+            ModeParams(
+                I=m["I"], N=m["N"],
+                eps_n=m["eps_n"], eps_s=m["eps_s"], eps_k=m["eps_k"],
+                delta_art=m["delta_art"], delta_ven=m["delta_ven"],
+                gamma_art=m["gamma_art"], gamma_ven=m["gamma_ven"],
+                phi=m["phi"], omega=m["omega"], kappa=m["kappa"],
+                delta_sigma=m["delta_sigma"], first_mode=(i == 0))
+            for i, m in enumerate(config["modes"])
+        ]
+
+    def init_state(self, forest_config: dict, rng_seed: int) -> GrowthState:
+        rng = np.random.default_rng(rng_seed)
+        if forest_config.get("type", "stumps") != "stumps":
+            raise NotImplementedError(
+                "only 'stumps' forest initialization is implemented")
+        walls = [k for k, v in forest_config["source_walls"].items() if v]
+        art = init_forest_stumps(rng, forest_config["N_trees"], walls,
+                                 self.d, self.r, self.sizes,
+                                 self.node_capacity)
+        ven = init_forest_stumps(rng, forest_config["N_trees"], walls,
+                                 self.d, self.r, self.sizes,
+                                 self.node_capacity)
+        sc = self.sink_capacity
+        empty = SinkState(jnp.zeros((sc, 3), jnp.float32),
+                          jnp.zeros((sc,), bool))
+        faz_r = rng.normal(self.faz_bound[0], self.faz_bound[1])
+        return GrowthState(
+            art, ven, empty, empty, jnp.float32(1.0), jnp.float32(self.d),
+            jnp.float32(max(faz_r, 0.0)),
+            jax.random.PRNGKey(rng_seed))
+
+    def develop_forest(self, forest_config: dict, batch: int = 1,
+                       murray_sweeps: int = 8) -> GrowthState:
+        states = [self.init_state(forest_config, self.seed + i)
+                  for i in range(batch)]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+        def run_all(state):
+            t0 = 0
+            for mp in self.modes:
+                state = run_mode(
+                    state, mp, t0, param_scale=self.param_scale,
+                    r0=self.r, rotation_radius=self.rotation_radius,
+                    faz_center=jnp.asarray(self.faz_center),
+                    size_z=self.sizes[2], murray_sweeps=murray_sweeps)
+                t0 += mp.I
+            return state
+
+        out = jax.jit(jax.vmap(run_all))(batched)
+        return jax.block_until_ready(out)
+
+
+def forest_to_edges(forest_state, sim_index: int | None = None) -> dict:
+    """Extract the edge list {'node1','node2','radius'} arrays from a (possibly
+    batched) ForestState — parents-first order, roots excluded (matches the
+    reference CSV writer, ``forest.py:196-207``)."""
+    f = forest_state
+    if sim_index is not None:
+        f = jax.tree.map(lambda x: x[sim_index], f)
+    n = int(f.n_nodes)
+    pos = np.asarray(f.pos)[:n]
+    parent = np.asarray(f.parent)[:n]
+    radius = np.asarray(f.radius)[:n]
+    mask = parent >= 0
+    return {
+        "node1": pos[mask],
+        "node2": pos[np.clip(parent[mask], 0, n - 1)],
+        "radius": radius[mask],
+    }
+
+
+def save_edges_csv(edges_list: list[dict], path: str):
+    """Write merged forests to the reference CSV format."""
+    import csv as _csv
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w+", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["node1", "node2", "radius"])
+        for edges in edges_list:
+            for i in range(len(edges["radius"])):
+                n1 = " ".join(f"{v:.8f}" for v in edges["node1"][i])
+                n2 = " ".join(f"{v:.8f}" for v in edges["node2"][i])
+                w.writerow([f"[{n1}]", f"[{n2}]", edges["radius"][i]])

@@ -1,0 +1,117 @@
+"""Tests for the batched JAX vessel-growth simulation."""
+import numpy as np
+import pytest
+
+from octa_tpu.sim import greenhouse as gh
+
+CONFIG = {
+    "SimulationSpace": {"no_voxel_x": 1, "no_voxel_y": 1,
+                        "no_voxel_z": 0.0131},
+    "d": 0.1, "r": 0.0025,
+    "FAZ_radius_bound": [0.44, 0.04],
+    "rotation_radius": 1.05,
+    "FAZ_center": [0.5, 0.5],
+    "nerve_center": [10.56, 5.16],
+    "nerve_radius": 0.3,
+    "param_scale": 3,
+    "modes": [
+        {"name": "SVC", "I": 12, "N": 500, "eps_n": 0.18, "eps_s": 0.135,
+         "eps_k": 0.135, "delta_art": 0.2925, "delta_ven": 0.2925,
+         "gamma_art": 50, "gamma_ven": 50, "phi": 15, "omega": 0.3,
+         "kappa": 2.55, "delta_sigma": 0.02},
+        {"name": "DVC", "I": 6, "N": 500, "eps_n": 0.09, "eps_s": 0.0675,
+         "eps_k": 0.0675, "delta_art": 0.14625, "delta_ven": 0.14625,
+         "gamma_art": 90, "gamma_ven": 90, "phi": 15, "omega": 0,
+         "kappa": 2.9, "delta_sigma": 0.02},
+    ],
+}
+FOREST = {"type": "stumps", "N_trees": 4,
+          "source_walls": {"x0": True, "x1": True, "y0": True, "y1": True,
+                           "z0": False, "z1": False}}
+
+
+@pytest.fixture(scope="module")
+def grown():
+    g = gh.Greenhouse(CONFIG, node_capacity=2048, sink_capacity=1024, seed=1)
+    state = g.develop_forest(FOREST, batch=2)
+    return g, state
+
+
+def test_forest_grows(grown):
+    g, state = grown
+    n_art = np.asarray(state.art.n_nodes)
+    n_ven = np.asarray(state.ven.n_nodes)
+    assert n_art.shape == (2,)
+    # started with 2 nodes per tree * 4 trees = 8; must have grown
+    assert (n_art > 30).all(), n_art
+    assert (n_ven >= 8).all(), n_ven
+    # batch members differ (independent RNG)
+    assert n_art[0] != n_art[1] or n_ven[0] != n_ven[1]
+
+
+def test_positions_and_radii_sane(grown):
+    g, state = grown
+    for b in range(2):
+        edges = gh.forest_to_edges(state.art, b)
+        pos = edges["node1"]
+        n = np.asarray(state.art.n_nodes)[b]
+        assert len(edges["radius"]) == n - 4  # all non-root nodes have edges
+        assert np.isfinite(pos).all()
+        # nodes stay roughly inside the unit slab (growth can overshoot a bit)
+        assert (pos[:, :2] > -0.2).all() and (pos[:, :2] < 1.2).all()
+        assert (edges["radius"] > 0).all()
+
+
+def test_murray_radius_monotonic(grown):
+    """Parent radius >= child radius after Murray sweeps."""
+    g, state = grown
+    f = state.art
+    n = int(np.asarray(f.n_nodes)[0])
+    parent = np.asarray(f.parent[0])[:n]
+    radius = np.asarray(f.radius[0])[:n]
+    is_root = np.asarray(f.is_root[0])[:n]
+    # roots keep r_0 (the reference never Murray-updates them)
+    child = (parent >= 0) & ~is_root[np.clip(parent, 0, n - 1)]
+    assert (radius[parent[child]] >= radius[child] - 1e-5).mean() > 0.99
+
+
+def test_tree_structure_consistency(grown):
+    g, state = grown
+    f = state.art
+    n = int(np.asarray(f.n_nodes)[0])
+    parent = np.asarray(f.parent[0])[:n]
+    n_children = np.asarray(f.n_children[0])[:n]
+    # parents always created before children
+    idx = np.arange(n)
+    assert (parent < idx)[parent >= 0].all()
+    # n_children consistent with parent pointers
+    counted = np.bincount(parent[parent >= 0], minlength=n)
+    np.testing.assert_array_equal(counted, n_children)
+    assert (n_children <= 2).all()
+
+
+def test_faz_clearing(grown):
+    """The FAZ disc should stay (mostly) vessel-free."""
+    g, state = grown
+    f = state.art
+    n = int(np.asarray(f.n_nodes)[0])
+    pos = np.asarray(f.pos[0])[:n]
+    faz_r = float(np.asarray(state.faz_radius[0]))
+    d = np.linalg.norm(pos[:, :2] - 0.5, axis=-1)
+    # voxel-quantized FAZ disc of radius faz_r*0.5 has few nodes inside
+    inside = (d < faz_r * 0.4).mean()
+    assert inside < 0.05, inside
+
+
+def test_csv_export_roundtrip(grown, tmp_path):
+    from octa_tpu.ops import raster
+
+    g, state = grown
+    art = gh.forest_to_edges(state.art, 0)
+    ven = gh.forest_to_edges(state.ven, 0)
+    path = str(tmp_path / "sample.csv")
+    gh.save_edges_csv([art, ven], path)
+    arrays = raster.parse_graph_csv(path)
+    assert len(arrays["radius"]) == len(art["radius"]) + len(ven["radius"])
+    img, _ = raster.rasterize_forest(arrays, [64, 64], 2)
+    assert img.max() > 100  # vessels rendered
