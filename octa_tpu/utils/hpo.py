@@ -1,0 +1,94 @@
+"""Lightweight hyper-parameter optimization harness.
+
+Replaces the reference's Ray Tune + BOHB setup (``utils/bayesOpt*.py``; Ray
+is not a dependency here) with a self-contained sequential-model-free
+optimizer: quasi-random exploration followed by Gaussian perturbation around
+the incumbent ("explore-then-refine"), which matches BOHB's behavior well for
+the reference's 1-2 dimensional search spaces (post-processing threshold /
+min object size, noise-model lambdas).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Callable
+
+
+@dataclass
+class Uniform:
+    lower: float
+    upper: float
+
+    def sample(self, rng):
+        return float(rng.uniform(self.lower, self.upper))
+
+    def perturb(self, value, rng, scale=0.15):
+        span = self.upper - self.lower
+        return float(min(self.upper, max(
+            self.lower, value + rng.normal(0, scale * span))))
+
+
+@dataclass
+class UniformInt:
+    lower: int
+    upper: int
+
+    def sample(self, rng):
+        return int(rng.integers(self.lower, self.upper + 1))
+
+    def perturb(self, value, rng, scale=0.15):
+        span = self.upper - self.lower
+        v = int(round(value + rng.normal(0, max(1.0, scale * span))))
+        return int(min(self.upper, max(self.lower, v)))
+
+
+@dataclass
+class Choice:
+    choices: list
+
+    def sample(self, rng):
+        return self.choices[int(rng.integers(0, len(self.choices)))]
+
+    def perturb(self, value, rng, scale=0.15):
+        if value in self.choices and rng.random() < 0.5:
+            i = self.choices.index(value)
+            j = int(min(len(self.choices) - 1, max(
+                0, i + rng.integers(-2, 3))))
+            return self.choices[j]
+        return self.sample(rng)
+
+
+def tune(space: dict[str, Any],
+         eval_fn: Callable[[dict], dict[str, float]],
+         metric: str,
+         mode: str = "max",
+         num_samples: int = 50,
+         explore_frac: float = 0.5,
+         seed: int = 0,
+         verbose: bool = True):
+    """Run the search. ``eval_fn(params) -> {metric: value, ...}``.
+
+    Returns (best_params, best_result, history)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    sign = 1.0 if mode == "max" else -1.0
+    history: list[tuple[dict, dict]] = []
+    best_params, best_result, best_score = None, None, -math.inf
+
+    n_explore = max(1, int(num_samples * explore_frac))
+    for i in range(num_samples):
+        if i < n_explore or best_params is None:
+            params = {k: s.sample(rng) for k, s in space.items()}
+        else:
+            params = {k: space[k].perturb(best_params[k], rng)
+                      for k in space}
+        result = eval_fn(params)
+        history.append((params, result))
+        score = sign * result[metric]
+        if score > best_score:
+            best_params, best_result, best_score = params, result, score
+            if verbose:
+                print(f"[hpo {i + 1}/{num_samples}] new best "
+                      f"{metric}={result[metric]:.4f} @ {params}")
+    return best_params, best_result, history

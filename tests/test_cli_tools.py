@@ -1,0 +1,97 @@
+"""Smoke tests for CLI tools: generation, visualization, ROI crop, HPO."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+
+
+def _run(args, cwd=REPO):
+    return subprocess.run([sys.executable] + args, cwd=cwd, env=ENV,
+                          capture_output=True, text=True, timeout=600)
+
+
+def test_generate_vessel_graph_cli(tmp_path):
+    cfg = {
+        "Greenhouse": {
+            "SimulationSpace": {"no_voxel_x": 1, "no_voxel_y": 1,
+                                "no_voxel_z": 0.0131},
+            "d": 0.1, "r": 0.0025, "FAZ_radius_bound": [0.44, 0.04],
+            "rotation_radius": 1.05, "FAZ_center": [0.5, 0.5],
+            "nerve_center": [10.56, 5.16], "nerve_radius": 0.3,
+            "param_scale": 3,
+            "modes": [{"name": "SVC", "I": 6, "N": 400, "eps_n": 0.18,
+                       "eps_s": 0.135, "eps_k": 0.135, "delta_art": 0.2925,
+                       "delta_ven": 0.2925, "gamma_art": 50, "gamma_ven": 50,
+                       "phi": 15, "omega": 0.3, "kappa": 2.55,
+                       "delta_sigma": 0.02}],
+        },
+        "output": {"directory": str(tmp_path / "graphs"),
+                   "image_scale_factor": 76, "save_trees": True,
+                   "save_3D_volumes": None, "save_2D_image": True,
+                   "proj_axis": 2, "save_stats": False},
+        "Forest": {"type": "stumps", "N_trees": 4,
+                   "source_walls": {"x0": True, "x1": True, "y0": True,
+                                    "y1": True, "z0": False, "z1": False}},
+    }
+    cfg_path = tmp_path / "gen.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    r = _run(["generate_vessel_graph.py", "--config_file", str(cfg_path),
+              "--num_samples", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    import glob
+
+    csvs = glob.glob(str(tmp_path / "graphs" / "*" / "*.csv"))
+    pngs = glob.glob(str(tmp_path / "graphs" / "*" / "*.png"))
+    assert len(csvs) == 2 and len(pngs) == 2
+    from octa_tpu.ops.raster import parse_graph_csv
+
+    arrays = parse_graph_csv(csvs[0])
+    assert len(arrays["radius"]) > 10
+
+
+def test_visualize_vessel_graphs_cli(tmp_path):
+    src = "/root/reference/datasets/vessel_graphs"
+    out = tmp_path / "render"
+    r = _run(["visualize_vessel_graphs.py", "--source_dir", src,
+              "--out_dir", str(out), "--resolution", "64,64,5",
+              "--binarize", "--num_samples", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    import glob
+
+    assert len(glob.glob(str(out / "*.png"))) == 1
+
+
+def test_roi_cropping_cli(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    # image with a bright centered ROI
+    img = np.zeros((200, 200), np.uint8)
+    img[40:160, 40:160] = rng.integers(100, 255, (120, 120))
+    Image.fromarray(img).save(inp / "a.png")
+    out = tmp_path / "out"
+    r = _run(["ROI_cropping.py", "--input_dir", str(inp),
+              "--output_dir", str(out), "--roi_size", "100"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    cropped = np.array(Image.open(out / "a.png"))
+    assert cropped.shape == (100, 100)
+    assert os.path.exists(out / "problematic.csv")
+
+
+def test_hpo_harness_finds_optimum():
+    from octa_tpu.utils.hpo import Uniform, tune
+
+    def eval_fn(p):
+        return {"score": -(p["x"] - 0.3) ** 2}
+
+    best, result, hist = tune({"x": Uniform(0, 1)}, eval_fn, "score",
+                              num_samples=60, verbose=False)
+    assert abs(best["x"] - 0.3) < 0.05
+    assert len(hist) == 60
