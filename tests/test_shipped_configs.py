@@ -1,0 +1,38 @@
+"""Every shipped config must parse, resolve its transforms, and construct its
+model/algorithm object."""
+import glob
+import os
+
+import pytest
+import yaml
+
+from octa_tpu.data.transforms import get_data_augmentations
+from octa_tpu.train.algorithms import define_model
+from octa_tpu.utils.enums import Phase
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "config_*.yml")))
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
+def test_config_builds(path):
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    assert "General" in cfg
+    for phase in (Phase.TRAIN, Phase.VALIDATION, Phase.TEST):
+        if phase in cfg and cfg[phase].get("data_augmentation"):
+            transforms = get_data_augmentations(
+                cfg[phase]["data_augmentation"], seed=0)
+            assert len(transforms) == len(cfg[phase]["data_augmentation"])
+    model = define_model(cfg, Phase.TRAIN)
+    assert model is not None
+
+
+def test_vessel_gen_config_builds():
+    from octa_tpu.sim.greenhouse import Greenhouse
+
+    with open(os.path.join(REPO, "configs", "vessel_graph_gen.yml")) as f:
+        cfg = yaml.safe_load(f)
+    g = Greenhouse(cfg["Greenhouse"])
+    assert len(g.modes) == 2
+    assert g.modes[0].I == 100 and g.modes[1].I == 150
