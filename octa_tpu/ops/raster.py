@@ -51,7 +51,15 @@ def parse_graph_csv(path: str) -> dict[str, np.ndarray]:
     Node columns are stored as ``[x y z]`` strings (see the reference's
     ``forest.py:196-207`` writer). Returns float64 arrays
     ``{"node1": [E,3], "node2": [E,3], "radius": [E]}``.
+
+    Uses the native C++ parser (octa_tpu/native/graph_csv.cpp) when
+    available; falls back to a numpy text parse.
     """
+    from octa_tpu.native import parse_graph_csv_native
+
+    native = parse_graph_csv_native(path)
+    if native is not None:
+        return native
     with open(path, "r") as f:
         text = f.read()
     body = text.split("\n", 1)[1] if "\n" in text else ""

@@ -131,3 +131,24 @@ def test_2d_mip_axes(mip_axis):
     our_img, _ = raster.rasterize_forest(sub, [128, 128], mip_axis)
     mad = np.abs(ref_img / 255.0 - our_img / 255.0).mean()
     assert mad < 0.02, f"axis {mip_axis} mad {mad}"
+
+
+def test_native_csv_parser_matches_python():
+    import glob
+
+    import octa_tpu.native as nat
+    from octa_tpu.native import parse_graph_csv_native
+
+    path = sorted(glob.glob(f"{CSV_DIR}/*.csv"))[0]
+    native = parse_graph_csv_native(path)
+    if native is None:
+        pytest.skip("native toolchain unavailable")
+    prev_failed, prev_lib = nat._failed, nat._lib
+    nat._failed, nat._lib = True, None  # force python fallback
+    try:
+        py = raster.parse_graph_csv(path)
+    finally:
+        nat._failed, nat._lib = prev_failed, prev_lib
+    np.testing.assert_allclose(native["node1"], py["node1"])
+    np.testing.assert_allclose(native["node2"], py["node2"])
+    np.testing.assert_allclose(native["radius"], py["radius"])
