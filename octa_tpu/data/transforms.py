@@ -82,8 +82,19 @@ class LoadImaged(Transform):
         from PIL import Image
 
         for k in self._iter_keys(data):
-            img = Image.open(data[k])
-            data[k] = np.asarray(img).astype(np.float32)
+            path = str(data[k])
+            if path.endswith(".npy"):
+                data[k] = np.load(path).astype(np.float32)
+            elif path.endswith((".nii", ".nii.gz")):
+                try:
+                    import nibabel as nib
+
+                    data[k] = np.asarray(
+                        nib.load(path).get_fdata()).astype(np.float32)
+                except ImportError:  # .nii.npy fallback written by our CLI
+                    data[k] = np.load(path + ".npy").astype(np.float32)
+            else:
+                data[k] = np.asarray(Image.open(path)).astype(np.float32)
         return data
 
 

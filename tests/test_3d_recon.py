@@ -1,0 +1,103 @@
+"""3D-reconstruction data path (reference config_3d_recon_supervised.yml):
+2D MIP input -> DynUNet with out_channels = z-slices -> 3D label volume,
+plus the RemoveOuterNoise post-processing."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from octa_tpu.ops import raster
+from octa_tpu.utils.enums import Phase
+
+DATA = "/root/reference/datasets"
+
+
+@pytest.fixture(scope="module")
+def volume_dataset(tmp_path_factory):
+    """Render tiny 3D volumes + matching blackdict-free MIPs from bundled
+    graphs."""
+    tmp = tmp_path_factory.mktemp("recon")
+    csvs = sorted(glob.glob(f"{DATA}/vessel_graphs/*.csv"))[:3]
+    for p in csvs:
+        arrays = raster.parse_graph_csv(p)
+        vol, _ = raster.voxelize_forest(arrays, [64, 64, 16])
+        name = os.path.splitext(os.path.basename(p))[0]
+        np.save(tmp / f"{name}.npy", vol.astype(np.float32))
+    return tmp, csvs
+
+
+def test_3d_recon_training_step(volume_dataset, tmp_path):
+    tmp, csvs = volume_dataset
+    zdim = np.load(next(iter(glob.glob(str(tmp / "*.npy"))))).shape[2]
+    cfg = {
+        "General": {"task": "ves-seg", "seed": 1, "amp": False,
+                    "model": {"name": "DynUNet", "spatial_dims": 2,
+                              "in_channels": 1, "out_channels": zdim - 4,
+                              "kernel_size": [3] * 5,
+                              "strides": [1, 2, 2, 2, 1],
+                              "upsample_kernel_size": [1, 2, 2, 2, 1]}},
+        "Train": {
+            "data": {
+                "image": {"files": f"{DATA}/vessel_graphs/*.csv"},
+                "label": {"files": str(tmp / "*.npy")},
+            },
+            "epochs": 1, "epochs_decay": 0, "val_interval": 100,
+            "batch_size": 2, "lr": 1e-3, "loss": "DiceBCELoss", "AT": False,
+            "data_augmentation": [
+                {"name": "LoadImaged", "keys": ["label"], "image_only": True},
+                {"name": "LoadGraphAndFilterByRandomRadiusd",
+                 "keys": ["image"], "image_resolutions": [[64, 64]],
+                 "min_radius": [0], "max_dropout_prob": 0},
+                {"name": "ScaleIntensityd", "keys": ["image", "label"],
+                 "minv": 0, "maxv": 1},
+                {"name": "EnsureChannelFirstd", "keys": ["image"],
+                 "strict_check": False, "channel_dim": "no_channel"},
+                {"name": "EnsureChannelFirstd", "keys": ["label"],
+                 "strict_check": False, "channel_dim": 2},
+                {"name": "SelectSlice", "keys": ["label"],
+                 "slice_selection": [[2, -2]]},
+                {"name": "AsDiscreted", "keys": ["label"], "threshold": 0.1},
+                {"name": "CastToTyped", "keys": ["image", "label"],
+                 "dtype": "dtype"},
+            ],
+            "post_processing": {
+                "prediction": [{"name": "Activations", "sigmoid": True},
+                               {"name": "AsDiscrete", "threshold": 0.5}],
+                "label": [{"name": "CastToType", "dtype": "uint8"}],
+            },
+        },
+        "Output": {"save_dir": str(tmp_path / "out"), "save_to_disk": False},
+    }
+
+    from octa_tpu.data.dataset import get_dataset, get_post_transformation
+    from octa_tpu.train.algorithms import define_model
+
+    loader = get_dataset(cfg, Phase.TRAIN)
+    batch = next(iter(loader))
+    assert np.asarray(batch["image"]).shape == (2, 1, 64, 64)
+    assert np.asarray(batch["label"]).shape == (2, zdim - 4, 64, 64)
+
+    model = define_model(cfg, Phase.TRAIN)
+
+    class A:
+        start_epoch = 0
+        epoch = "latest"
+
+    model.initialize_model_and_optimizer(batch, cfg, A(), phase=Phase.TRAIN)
+    post = get_post_transformation(cfg, Phase.TRAIN)
+    outputs, losses = model.perform_training_step(batch, post)
+    assert np.isfinite(losses["DiceBCELoss"])
+    pred = np.asarray(outputs["prediction"][0])
+    assert pred.shape == (zdim - 4, 64, 64)
+
+
+def test_remove_outer_noise_post():
+    from octa_tpu.data.transforms import RemoveOuterNoise
+
+    vol = np.zeros((8, 16, 16), np.float32)
+    vol[3:5, 4:8, 4:8] = 1  # connected to the central z-plane
+    vol[0, 12:14, 12:14] = 1  # floating noise far from center
+    out = RemoveOuterNoise(z_axis=0)(vol)
+    assert out[4, 5, 5]
+    assert not out[0, 13, 13]
