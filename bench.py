@@ -77,17 +77,22 @@ def main():
     bg = jnp.asarray(
         np.random.default_rng(0).random((BATCH, RES_IN, RES_IN), np.float32))
 
-    def splat2d(a, b, w, v, res):
-        return raster.splat_lines_2d(a, b, w, v, height=res, width=res,
-                                     tile=128, k_max=4096, chunk=16)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+
+    def splat2d(a, b, w, v, res, k):
+        if on_tpu:
+            from octa_tpu.ops.pallas_splat import splat_lines_2d_pallas
+            return splat_lines_2d_pallas(a, b, w, v, height=res, width=res,
+                                         tile=128, k_max=k, span_=2)
+        return jax.vmap(lambda aa, bb, ww, vv: raster.splat_lines_2d(
+            aa, bb, ww, vv, height=res, width=res, tile=128, k_max=k,
+            chunk=16))(a, b, w, v)
 
     @jax.jit
     def pipeline(ai, bi, wi, vi, al, bl, wl, vl, rng):
         # 1. rasterize input (304²) and label (1216²)
-        img = jax.vmap(lambda a, b, w, v: splat2d(a, b, w, v, RES_IN))(
-            ai, bi, wi, vi)
-        lab = jax.vmap(lambda a, b, w, v: splat2d(a, b, w, v, RES_LAB))(
-            al, bl, wl, vl)
+        img = splat2d(ai, bi, wi, vi, RES_IN, 4096)
+        lab = splat2d(al, bl, wl, vl, RES_LAB, 512)
         lab = (lab > 0.1).astype(jnp.float32)
         # 2. contrast adaptation: handcrafted noise model + GAN generator
         params = nm.sample_noise_params(rng, img.shape[0])

@@ -459,10 +459,33 @@ def rasterize_forest(
     w_px = radius * _RADIUS_FUDGE * scale_factor * _PT_TO_PX
     a_p, b_p, w_p, v_p = pad_edges(a, b, w_px, keep)
     k = select_k_2d(a_p, b_p, w_p, v_p, (ny, nx))
-    img = splat_lines_2d(
+    img = splat_lines_2d_auto(
         a_p[:, :2], b_p[:, :2], w_p, v_p, height=ny, width=nx, k_max=k
     )
     return np.asarray(img * 255.0).astype(np.float32), blackdict
+
+
+def splat_lines_2d_auto(a, b, width_px, valid, *, height, width, tile=128,
+                        k_max=4096):
+    """Dispatch 2D line splatting to the Pallas TPU kernel when a TPU backend
+    is active (span chosen host-side from the widest dilated bbox), else to
+    the XLA scan fallback. Inputs as :func:`splat_lines_2d` (numpy or jax)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from octa_tpu.ops.pallas_splat import splat_lines_2d_pallas
+
+        an, bn = np.asarray(a), np.asarray(b)
+        reach = np.asarray(width_px) * 0.5 + 1.0
+        ext = np.abs(an - bn) + 2.0 * reach[..., None]
+        max_ext = float(ext.max()) if ext.size else 0.0
+        span = max(2, int(math.ceil(max_ext / tile)) + 1)
+        return splat_lines_2d_pallas(
+            a, b, width_px, valid, height=height, width=width, tile=tile,
+            k_max=k_max, span_=span,
+        )
+    return splat_lines_2d(
+        a, b, width_px, valid, height=height, width=width, tile=tile,
+        k_max=k_max,
+    )
 
 
 def voxelize_forest(
