@@ -80,8 +80,10 @@ def _conv_oihw_to_hwio(w: np.ndarray) -> np.ndarray:
 
 
 def _convT_iohw_to_hwio(w: np.ndarray) -> np.ndarray:
-    # torch ConvTranspose2d weight: (in, out, kH, kW); flax: (kH, kW, in, out)
-    return np.transpose(w, (2, 3, 0, 1))
+    # torch ConvTranspose2d weight: (in, out, kH, kW); flax ConvTranspose
+    # (transpose_kernel=False) additionally needs the kernel spatially
+    # flipped: torch places x[i]*W[a] at output 2i+a, flax at 2i+(k-1-a).
+    return np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))
 
 
 def import_dynunet_pth(path: str, flax_params: dict) -> dict:

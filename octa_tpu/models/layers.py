@@ -29,11 +29,25 @@ class InstanceNorm(nn.Module):
 
     affine: bool = False
     eps: float = 1e-5
+    groups: int = 1  # >1: channels are [groups, C] phase-major (S2D domain);
+    # statistics and affine act per canonical channel C across groups.
 
     @nn.compact
     def __call__(self, x):
-        axes = tuple(range(1, x.ndim - 1))
         x32 = x.astype(jnp.float32)
+        if self.groups > 1:
+            c = x.shape[-1] // self.groups
+            xg = x32.reshape(*x.shape[:-1], self.groups, c)
+            axes = tuple(range(1, xg.ndim - 1))
+            mean = jnp.mean(xg, axis=axes, keepdims=True)
+            var = jnp.var(xg, axis=axes, keepdims=True)
+            y = (xg - mean) * jax.lax.rsqrt(var + self.eps)
+            if self.affine:
+                scale = self.param("scale", nn.initializers.ones, (c,))
+                bias = self.param("bias", nn.initializers.zeros, (c,))
+                y = y * scale + bias
+            return y.reshape(x.shape).astype(x.dtype)
+        axes = tuple(range(1, x.ndim - 1))
         mean = jnp.mean(x32, axis=axes, keepdims=True)
         var = jnp.var(x32, axis=axes, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
