@@ -11,7 +11,11 @@ from octa_tpu.train.algorithms import define_model
 from octa_tpu.utils.enums import Phase
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "config_*.yml")))
+CONFIGS = sorted(
+    glob.glob(os.path.join(REPO, "configs", "config_*.yml"))
+    + glob.glob(os.path.join(REPO, "configs", "experiment_configs",
+                             "config_*.yml"))
+)
 
 
 @pytest.mark.parametrize("path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
@@ -19,10 +23,10 @@ def test_config_builds(path):
     with open(path) as f:
         cfg = yaml.safe_load(f)
     assert "General" in cfg
-    needs_checkpoint = "S_GAN" in os.path.basename(path)
     for phase in (Phase.TRAIN, Phase.VALIDATION, Phase.TEST):
-        if needs_checkpoint:
-            continue  # ImageToImageTranslationd needs a trained checkpoint
+        aug = cfg.get(phase, {}).get("data_augmentation") or []
+        if any(t.get("name") == "ImageToImageTranslationd" for t in aug):
+            continue  # needs a trained checkpoint on disk
         if phase in cfg and cfg[phase].get("data_augmentation"):
             transforms = get_data_augmentations(
                 cfg[phase]["data_augmentation"], seed=0)
