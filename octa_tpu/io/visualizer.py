@@ -41,6 +41,24 @@ class Visualizer:
                 yaml.safe_dump(_plain(snapshot), f, sort_keys=False)
         self.metrics_path = os.path.join(self.save_dir, "metrics.csv")
         self._metric_history: dict[str, list[float]] = {}
+        self.save_to_tensorboard = bool(
+            config.get("Output", {}).get("save_to_tensorboard"))
+        self._tb = None
+
+    def _tb_writer(self):
+        """Lazy TensorBoard SummaryWriter (reference ``visualizer.py:160-164``
+        writes scalars/graph/histograms when Output.save_to_tensorboard)."""
+        if not (self.save_to_tensorboard and self.save_to_disk):
+            return None
+        if self._tb is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+            except Exception:
+                self.save_to_tensorboard = False
+                return None
+            self._tb = SummaryWriter(
+                log_dir=os.path.join(self.save_dir, "tensorboard"))
+        return self._tb
 
     # -- metrics ----------------------------------------------------------
     def plot_losses_and_metrics(self, epoch_metrics: dict[str, dict], epoch: int):
@@ -64,6 +82,16 @@ class Visualizer:
                 w.writeheader()
             w.writerow(row)
         self._plot_loss_png()
+        tb = self._tb_writer()
+        if tb is not None:
+            for k, v in row.items():
+                if k == "epoch":
+                    continue
+                try:
+                    tb.add_scalar(k, float(v), epoch)
+                except (TypeError, ValueError):
+                    pass
+            tb.flush()
 
     def _plot_loss_png(self):
         try:
@@ -133,7 +161,28 @@ class Visualizer:
             f.write("\n".join(lines) + "\n")
 
     def log_model_params(self, model, epoch: int):
-        pass  # tensorboard histograms intentionally omitted
+        """Parameter histograms to TensorBoard (reference
+        ``visualizer.py:248-253``); no-op unless save_to_tensorboard."""
+        tb = self._tb_writer()
+        if tb is None:
+            return
+        states = getattr(model, "network_states", None)
+        if not isinstance(states, dict):
+            return
+        import jax
+
+        for net_name, state in states.items():
+            params = state.get("params", state) if isinstance(state, dict) \
+                else state
+            flat = jax.tree_util.tree_flatten_with_path(params)[0]
+            for path, leaf in flat:
+                keystr = net_name + "/".join(
+                    str(getattr(p, "key", getattr(p, "idx", ""))) for p in path)
+                try:
+                    tb.add_histogram(keystr, np.asarray(leaf), epoch)
+                except (TypeError, ValueError):
+                    pass
+        tb.flush()
 
     # -- sample plots ---------------------------------------------------------
     def _save_grid(self, images: list[np.ndarray], titles: list[str],
