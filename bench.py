@@ -1,73 +1,69 @@
 #!/usr/bin/env python
 """Benchmark: full synthetic-OCTA pipeline throughput on one chip.
 
-Measures 1216² images/sec/chip across the on-device pipeline stages the
-framework currently covers end-to-end:
-  vessel-graph rasterization (304² input + 1216² label splats)
-  -> noise-model / GAN contrast adaptation (resnetGenerator9 @ 304²)
+Measures 1216² images/sec/chip across the complete on-device pipeline — the
+exact scope of the BASELINE.md north star ("generate, contrast-adapt and
+segment 500 synthetic 1216² samples end-to-end on a v5e-8 in <2 min"):
+
+  vessel growth (batched space-colonization simulation, SVC+DVC schedule)
+  -> vessel-graph rasterization (304² input + 1216² label splats)
+  -> noise-model + GAN contrast adaptation (resnetGenerator9 @ 304²)
   -> DynUNet segmentation at 1216² -> sigmoid+threshold post-processing.
 
-Baseline (BASELINE.md north star): 500 samples end-to-end in <2 min on a
-v5e-8 = 0.521 img/s/chip. vs_baseline = value / 0.521.
+Baseline: 500 samples / 120 s / 8 chips = 0.521 img/s/chip.
+vs_baseline = value / 0.521.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
 
-import glob
 import json
 import time
 
 import numpy as np
+import yaml
 
 
-def main():
+def _pad_batch_edges(samples, res_in, res_lab, multiple=2048):
+    """Host-side edge prep: unit-cube edges -> pixel coords at both
+    resolutions, zero-padded to a common static edge count."""
+    e_max = max(len(s["radius"]) for s in samples)
+    e_pad = -(-max(e_max, 1) // multiple) * multiple
+    n = len(samples)
+    out = {}
+    for res, tag in ((res_in, "in"), (res_lab, "lab")):
+        a = np.zeros((n, e_pad, 2), np.float32)
+        b = np.zeros((n, e_pad, 2), np.float32)
+        w = np.zeros((n, e_pad), np.float32)
+        v = np.zeros((n, e_pad), bool)
+        for i, s in enumerate(samples):
+            e = len(s["radius"])
+            a[i, :e] = s["node1"][:, :2] * res
+            b[i, :e] = s["node2"][:, :2] * res
+            w[i, :e] = s["radius"] * 1.3 * res * (100 / 72)
+            v[i, :e] = True
+        out[tag] = (a, b, w, v)
+    return out
+
+
+def main(scope: str = "e2e"):
     import jax
     import jax.numpy as jnp
 
     from octa_tpu.models import noise_model as nm
     from octa_tpu.models.dynunet import DynUNet
     from octa_tpu.models.resnet_gan import resnetGenerator9
-    from octa_tpu.ops import raster
+    from octa_tpu.sim import greenhouse as gh
 
-    BATCH = 4
     N_IMAGES = 32
+    BATCH = 4
     RES_IN, RES_LAB = 304, 1216
 
-    # --- load + pad graphs (host prep, excluded from the timed region the
-    # same way the reference excludes dataset download; CSV parse is ~ms) ---
-    paths = sorted(glob.glob("/root/reference/datasets/vessel_graphs/*.csv"))
-    paths = (paths * ((N_IMAGES // max(len(paths), 1)) + 1))[:N_IMAGES]
-    graphs = [raster.parse_graph_csv(p) for p in paths]
-    e_max = max(len(g["radius"]) for g in graphs)
-    e_pad = -(-e_max // 2048) * 2048
+    sim_cfg = yaml.safe_load(open("configs/vessel_graph_gen.yml"))
+    g = gh.Greenhouse(sim_cfg["Greenhouse"], seed=0)
 
-    def prep(g):
-        n1, n2, r = g["node1"], g["node2"], g["radius"]
-        keep = np.ones(len(r), bool)
-        a_in = np.stack([n1[:, 0] * RES_IN, n1[:, 1] * RES_IN], -1)
-        b_in = np.stack([n2[:, 0] * RES_IN, n2[:, 1] * RES_IN], -1)
-        a_lab = a_in * (RES_LAB / RES_IN)
-        b_lab = b_in * (RES_LAB / RES_IN)
-        w_in = r * 1.3 * RES_IN * (100 / 72)
-        w_lab = r * 1.3 * RES_LAB * (100 / 72)
-        out = []
-        for a, b, w in ((a_in, b_in, w_in), (a_lab, b_lab, w_lab)):
-            ap, bp, wp, vp = raster.pad_edges(a, b, w, keep, multiple=e_pad)
-            out.append((ap[:e_pad], bp[:e_pad], wp[:e_pad], vp[:e_pad]))
-        return out
+    on_tpu = jax.default_backend() in ("tpu", "axon")
 
-    prepped = [prep(g) for g in graphs]
-    a_in = np.stack([p[0][0] for p in prepped])
-    b_in = np.stack([p[0][1] for p in prepped])
-    w_in = np.stack([p[0][2] for p in prepped])
-    v_in = np.stack([p[0][3] for p in prepped])
-    a_lab = np.stack([p[1][0] for p in prepped])
-    b_lab = np.stack([p[1][1] for p in prepped])
-    w_lab = np.stack([p[1][2] for p in prepped])
-    v_lab = np.stack([p[1][3] for p in prepped])
-
-    # --- networks ---
     gen = resnetGenerator9(dtype=jnp.bfloat16)
     seg = DynUNet(spatial_dims=2, in_channels=1, out_channels=1,
                   kernel_size=[3] * 5, strides=[1, 2, 2, 2, 1],
@@ -77,64 +73,165 @@ def main():
     bg = jnp.asarray(
         np.random.default_rng(0).random((BATCH, RES_IN, RES_IN), np.float32))
 
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-
     def splat2d(a, b, w, v, res, k):
         if on_tpu:
             from octa_tpu.ops.pallas_splat import splat_lines_2d_pallas
             return splat_lines_2d_pallas(a, b, w, v, height=res, width=res,
                                          tile=128, k_max=k, span_=2)
+        from octa_tpu.ops import raster
         return jax.vmap(lambda aa, bb, ww, vv: raster.splat_lines_2d(
             aa, bb, ww, vv, height=res, width=res, tile=128, k_max=k,
             chunk=16))(a, b, w, v)
 
     @jax.jit
     def pipeline(ai, bi, wi, vi, al, bl, wl, vl, rng):
-        # 1. rasterize input (304²) and label (1216²)
         img = splat2d(ai, bi, wi, vi, RES_IN, 4096)
         lab = splat2d(al, bl, wl, vl, RES_LAB, 512)
         lab = (lab > 0.1).astype(jnp.float32)
-        # 2. contrast adaptation: handcrafted noise model + GAN generator
         params = nm.sample_noise_params(rng, img.shape[0])
         noised = nm.apply_noise_model(params, rng, img, bg)
         fake = gen.apply(gv, noised[..., None].astype(jnp.bfloat16))
-        # 3. segmentation at 1216²
         up = jax.image.resize(fake, (fake.shape[0], RES_LAB, RES_LAB, 1),
                               "linear")
         logits = seg.apply(sv, up)
         pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
         return pred, lab
 
-    rng = jax.random.PRNGKey(0)
-    n_batches = N_IMAGES // BATCH
+    def extract_edges(state, n):
+        """Batched ForestState -> per-sample merged (art+ven) edge arrays."""
+        host = {name: jax.tree.map(np.asarray, f)
+                for name, f in (("art", state.art), ("ven", state.ven))}
+        samples = []
+        for i in range(n):
+            parts = []
+            for f in host.values():
+                n = int(f.n_nodes[i])
+                parent = f.parent[i][:n]
+                mask = parent >= 0
+                parts.append((
+                    f.pos[i][:n][mask],
+                    f.pos[i][:n][np.clip(parent[mask], 0, n - 1)],
+                    f.radius[i][:n][mask]))
+            samples.append({
+                "node1": np.concatenate([p[0] for p in parts]),
+                "node2": np.concatenate([p[1] for p in parts]),
+                "radius": np.concatenate([p[2] for p in parts]),
+            })
+        return samples
 
-    def run_epoch():
+    rng = jax.random.PRNGKey(0)
+
+    # growth batch adapts downward on device faults (the tunneled TPU is
+    # shared; transient UNAVAILABLE errors under memory contention)
+    growth_batch = [32]
+
+    def grow(seed, n):
+        samples = []
+        done, failures = 0, 0
+        while done < n:
+            b = min(growth_batch[0], n - done)
+            g.seed = seed * 1000 + done
+            try:
+                state = g.develop_forest(sim_cfg["Forest"], batch=b)
+                samples.extend(extract_edges(state, b))
+                del state
+                done += b
+            except Exception:
+                failures += 1
+                if failures > 4:
+                    raise
+                if growth_batch[0] <= 8:
+                    time.sleep(20)  # transient contention window; retry
+                else:
+                    growth_batch[0] //= 2
+        return samples
+
+    def run_all(seed):
+        samples = grow(seed, N_IMAGES)
+        prep = _pad_batch_edges(samples, RES_IN, RES_LAB)
+        (ai, bi, wi, vi) = [jnp.asarray(x) for x in prep["in"]]
+        (al, bl, wl, vl) = [jnp.asarray(x) for x in prep["lab"]]
         outs = []
-        for i in range(n_batches):
+        for i in range(N_IMAGES // BATCH):
             s = slice(i * BATCH, (i + 1) * BATCH)
-            pred, lab = pipeline(a_in[s], b_in[s], w_in[s], v_in[s],
-                                 a_lab[s], b_lab[s], w_lab[s], v_lab[s],
+            pred, lab = pipeline(ai[s], bi[s], wi[s], vi[s],
+                                 al[s], bl[s], wl[s], vl[s],
                                  jax.random.fold_in(rng, i))
             outs.append(pred)
         jax.block_until_ready(outs)
-        return outs
+        return float(jnp.sum(outs[-1]))  # force full drain (axon RPC)
 
-    run_epoch()  # warmup/compile
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        run_epoch()
-    dt = time.perf_counter() - t0
-    imgs_per_sec = N_IMAGES * reps / dt
+    baseline = 500 / 120 / 8  # BASELINE.md north star
+    if scope == "e2e":
+        run_all(0)  # warmup: compiles growth + pipeline
+        t0 = time.perf_counter()
+        run_all(1)
+        dt = time.perf_counter() - t0
+        metric = "e2e_generate_adapt_segment_1216px_images_per_sec_per_chip"
+    else:
+        # adapt+segment scope over the bundled graphs (used when the
+        # generation stage is unavailable under device contention)
+        import glob
+        from octa_tpu.ops import raster
+        paths = sorted(
+            glob.glob("datasets/vessel_graphs/*.csv"))[:N_IMAGES]
+        samples = [raster.parse_graph_csv(p) for p in paths]
+        samples = (samples * (N_IMAGES // max(len(samples), 1) + 1))[:N_IMAGES]
+        prep = _pad_batch_edges(samples, RES_IN, RES_LAB)
+        (ai, bi, wi, vi) = [jnp.asarray(x) for x in prep["in"]]
+        (al, bl, wl, vl) = [jnp.asarray(x) for x in prep["lab"]]
 
-    baseline = 500 / 120 / 8  # BASELINE.md: 500 imgs in <2min on v5e-8
+        def run_pipe():
+            outs = []
+            for i in range(N_IMAGES // BATCH):
+                s = slice(i * BATCH, (i + 1) * BATCH)
+                pred, _ = pipeline(ai[s], bi[s], wi[s], vi[s],
+                                   al[s], bl[s], wl[s], vl[s],
+                                   jax.random.fold_in(rng, i))
+                outs.append(pred)
+            return float(jnp.sum(outs[-1]))
+
+        run_pipe()
+        t0 = time.perf_counter()
+        run_pipe()
+        dt = time.perf_counter() - t0
+        metric = "adapt_segment_1216px_images_per_sec_per_chip"
+
+    imgs_per_sec = N_IMAGES / dt
     print(json.dumps({
-        "metric": "pipeline_1216px_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(imgs_per_sec, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(imgs_per_sec / baseline, 3),
     }))
 
 
+def _orchestrate():
+    """Try the full e2e scope in a subprocess (a device fault wedges the
+    whole JAX client, so each attempt needs a fresh process); fall back to
+    the adapt+segment scope. Prints exactly one JSON line."""
+    import subprocess
+    import sys
+
+    for scope in ("e2e", "adapt_segment"):
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--scope", scope],
+                capture_output=True, text=True, timeout=2400)
+        except subprocess.TimeoutExpired:
+            continue
+        for line in reversed((r.stdout or "").strip().splitlines()):
+            if line.startswith("{"):
+                print(line)
+                return
+    print(json.dumps({"metric": "bench_unavailable", "value": 0.0,
+                      "unit": "img/s/chip", "vs_baseline": 0.0}))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--scope" in sys.argv:
+        main(sys.argv[sys.argv.index("--scope") + 1])
+    else:
+        _orchestrate()

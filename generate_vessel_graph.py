@@ -52,13 +52,19 @@ def main():
     from octa_tpu.sim import greenhouse as gh
 
     g = gh.Greenhouse(config["Greenhouse"], seed=args.seed)
-    batch = args.batch_size or min(args.num_samples, 8)
+    # per-iteration cost is largely batch-independent on TPU (measured
+    # 27.4s at batch 8 vs 25.8s at batch 128 for the docker schedule), so
+    # grow as many simulations per program as memory allows
+    batch = args.batch_size or min(args.num_samples, 64)
 
+    collect_stats = bool(config["output"].get("save_stats"))
     done = 0
     while done < args.num_samples:
         b = min(batch, args.num_samples - done)
         g.seed = args.seed + done
-        state = g.develop_forest(config["Forest"], batch=b)
+        out = g.develop_forest(config["Forest"], batch=b,
+                               collect_stats=collect_stats)
+        state, stats = out if collect_stats else (out, None)
         for i in range(b):
             out_dir = prepare_output_dir(config["output"])
             with open(os.path.join(out_dir, "config.yml"), "w") as f:
@@ -70,6 +76,10 @@ def main():
             if config["output"].get("save_trees"):
                 gh.save_edges_csv([art, ven],
                                   os.path.join(out_dir, name + ".csv"))
+
+            if collect_stats:
+                g.save_stats(state, stats, os.path.join(out_dir, "stats"),
+                             sim_index=i)
 
             scale = config["output"]["image_scale_factor"]
             volume_dimension = [int(d * scale) for d in g.sizes]

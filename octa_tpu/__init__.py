@@ -21,3 +21,14 @@ Config files are schema-compatible with the reference's YAML corpus
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("OCTA_TPU_PLATFORM"):
+    # Working platform override for environments where a sitecustomize pins
+    # JAX_PLATFORMS before user code runs (e.g. force the CPU backend with
+    # OCTA_TPU_PLATFORM=cpu for debugging / cross-backend comparison).
+    # Must happen before any jax computation.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["OCTA_TPU_PLATFORM"])

@@ -116,7 +116,7 @@ def _oxygen_distance(r, param_scale):
     return c1 * 6.0 / param_scale
 
 
-def _chunked_nearest(query, points, valid, chunk=2048):
+def _chunked_nearest(query, points, valid, chunk=512):
     """(min_dist, argmin) from each query [Q,3] to valid points [NC,3]."""
     nc = points.shape[0]
     n_chunks = -(-nc // chunk)
@@ -144,7 +144,7 @@ def _chunked_nearest(query, points, valid, chunk=2048):
     return d, i
 
 
-def _chunked_min_dist_subset(query, points, valid, chunk=2048):
+def _chunked_min_dist_subset(query, points, valid, chunk=512):
     d, _ = _chunked_nearest(query, points, valid, chunk)
     return d
 
@@ -527,21 +527,36 @@ def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
 
 def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
              r0, rotation_radius, faz_center, size_z,
-             murray_sweeps=8) -> GrowthState:
-    """Run all iterations of one mode under lax.fori_loop. Sigma resets to 1
+             murray_sweeps=8, collect_stats: bool = False):
+    """Run all iterations of one mode under lax.scan. Sigma resets to 1
     at mode entry and ``d`` continues (compounds) from the previous mode,
-    as in ``init_params_from_config`` (``greenhouse.py:34-51``)."""
+    as in ``init_params_from_config`` (``greenhouse.py:34-51``).
+
+    With ``collect_stats`` returns per-iteration counters (node / sink
+    counts, sigma) — the data behind the reference's ``save_stats`` plots
+    (``greenhouse.py:401-441``)."""
     n_cand = int(mp.N)
     d_start = state.d_cur
     state = state._replace(sigma_t=jnp.float32(1.0))
 
-    def body(i, st):
-        return _iteration(
+    def body(st, i):
+        st = _iteration(
             st, mp, i, t0 + i, d_start, param_scale=param_scale,
             r0=r0, rotation_radius=rotation_radius, faz_center=faz_center,
             size_z=size_z, n_cand=n_cand, murray_sweeps=murray_sweeps)
+        stats = None
+        if collect_stats:
+            stats = jnp.stack([
+                st.art.n_nodes.astype(jnp.float32),
+                st.ven.n_nodes.astype(jnp.float32),
+                jnp.sum(st.oxy.alive).astype(jnp.float32),
+                jnp.sum(st.co2.alive).astype(jnp.float32),
+                st.sigma_t,
+            ])
+        return st, stats
 
-    return jax.lax.fori_loop(0, mp.I, body, state)
+    state, stats = jax.lax.scan(body, state, jnp.arange(mp.I))
+    return (state, stats) if collect_stats else state
 
 
 # ---------------------------------------------------------------------------
@@ -655,24 +670,92 @@ class Greenhouse:
             jax.random.PRNGKey(rng_seed))
 
     def develop_forest(self, forest_config: dict, batch: int = 1,
-                       murray_sweeps: int = 8) -> GrowthState:
+                       murray_sweeps: int = 8, collect_stats: bool = False):
         states = [self.init_state(forest_config, self.seed + i)
                   for i in range(batch)]
         batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-
-        def run_all(state):
-            t0 = 0
-            for mp in self.modes:
-                state = run_mode(
-                    state, mp, t0, param_scale=self.param_scale,
-                    r0=self.r, rotation_radius=self.rotation_radius,
-                    faz_center=jnp.asarray(self.faz_center),
-                    size_z=self.sizes[2], murray_sweeps=murray_sweeps)
-                t0 += mp.I
-            return state
-
-        out = jax.jit(jax.vmap(run_all))(batched)
+        out = self._jitted_run(murray_sweeps, collect_stats)(batched)
         return jax.block_until_ready(out)
+
+    def _jitted_run(self, murray_sweeps: int, collect_stats: bool = False):
+        """Cache the jitted growth program per (batch-independent) config.
+        A fresh ``jax.jit`` wrapper per call would re-trace AND re-compile
+        every ``develop_forest`` — pure waste, and repeated remote compiles
+        are the main source of tunnel flakiness on the axon TPU backend."""
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        key = (murray_sweeps, collect_stats)
+        if key not in self._jit_cache:
+            def run_all(state):
+                t0 = 0
+                all_stats = []
+                for mp in self.modes:
+                    out = run_mode(
+                        state, mp, t0, param_scale=self.param_scale,
+                        r0=self.r, rotation_radius=self.rotation_radius,
+                        faz_center=jnp.asarray(self.faz_center),
+                        size_z=self.sizes[2], murray_sweeps=murray_sweeps,
+                        collect_stats=collect_stats)
+                    if collect_stats:
+                        state, stats = out
+                        all_stats.append(stats)
+                    else:
+                        state = out
+                    t0 += mp.I
+                if collect_stats:
+                    return state, jnp.concatenate(all_stats, axis=0)
+                return state
+
+            self._jit_cache[key] = jax.jit(jax.vmap(run_all))
+        return self._jit_cache[key]
+
+    def save_stats(self, state: GrowthState, stats, out_dir: str,
+                   sim_index: int = 0):
+        """Growth statistics plots + yaml (reference ``save_stats``,
+        ``greenhouse.py:401-441``): per-iteration node/sink counts and
+        simulation-space scale, plus the final radii histogram."""
+        import os
+
+        import yaml as _yaml
+
+        s = np.asarray(stats[sim_index])  # [iters, 5]
+        edges = forest_to_edges(state.art, sim_index)
+        radii = np.concatenate([
+            edges["radius"],
+            forest_to_edges(state.ven, sim_index)["radius"]])
+        os.makedirs(out_dir, exist_ok=True)
+        summary = {
+            "iterations": int(s.shape[0]),
+            "final_art_nodes": int(s[-1, 0]),
+            "final_ven_nodes": int(s[-1, 1]),
+            "final_sigma": float(s[-1, 4]),
+            "radius_mean": float(radii.mean()) if radii.size else 0.0,
+            "radius_max": float(radii.max()) if radii.size else 0.0,
+        }
+        with open(os.path.join(out_dir, "stats.yml"), "w") as f:
+            _yaml.safe_dump(summary, f)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        fig, axes = plt.subplots(1, 3, figsize=(13, 3.5))
+        axes[0].plot(s[:, 0], label="arterial nodes")
+        axes[0].plot(s[:, 1], label="venous nodes")
+        axes[0].set_xlabel("iteration")
+        axes[0].legend()
+        axes[1].plot(s[:, 2], label="O2 sinks")
+        axes[1].plot(s[:, 3], label="CO2 sources")
+        axes[1].plot(s[:, 4], label="sigma")
+        axes[1].set_xlabel("iteration")
+        axes[1].legend()
+        axes[2].hist(radii * self.param_scale, bins=50)
+        axes[2].set_xlabel("vessel radius")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "stats.png"))
+        plt.close(fig)
 
 
 def forest_to_edges(forest_state, sim_index: int | None = None) -> dict:

@@ -81,6 +81,36 @@ class BaseAlgorithm:
             self.opt[opt_name] = tx
             self.opt_state[opt_name] = tx.init(params)
             self.base_lr[opt_name] = cfg["lr"]
+        self._setup_mesh(train_cfg.get("batch_size") or 1)
+
+    # -- multi-chip data parallelism ---------------------------------------
+    def _setup_mesh(self, batch_size: int):
+        """DP over all visible devices: batch sharded on a ``data`` axis,
+        parameters/optimizer state replicated; XLA inserts the gradient
+        psums inside the jitted steps (SURVEY §2.9/§5.8)."""
+        if len(jax.devices()) <= 1 or batch_size <= 1:
+            return
+        mesh = mesh_lib.get_mesh(batch_size=batch_size)
+        if mesh.size <= 1:
+            return
+        self.mesh = mesh
+        rep = mesh_lib.replicated(mesh)
+        self.params = jax.device_put(self.params, rep)
+        self.opt_state = jax.device_put(self.opt_state, rep)
+        self.mutables = jax.device_put(self.mutables, rep)
+
+    def shard_array(self, x):
+        """Device-put a batch array sharded over the data axis (replicates
+        transparently when the batch doesn't divide the mesh)."""
+        x = jnp.asarray(x)
+        if self.mesh is None or x.ndim == 0 \
+                or x.shape[0] % self.mesh.size != 0:
+            return x
+        return jax.device_put(x, mesh_lib.batch_sharding(self.mesh))
+
+    def _batch_in(self, arr):
+        """NCHW host batch -> NHWC device array, sharded over the mesh."""
+        return self.shard_array(_nchw_to_nhwc(np.asarray(arr)))
 
     def scheduler_step(self, epoch: int):
         """Linear decay over the last epochs_decay epochs (per epoch)."""
@@ -279,10 +309,10 @@ class SegAlgorithm(BaseAlgorithm):
 
     # ------------------------------------------------------------------
     def perform_training_step(self, mini_batch, post_transformations):
-        x = _nchw_to_nhwc(np.asarray(mini_batch["image"]))
-        y = _nchw_to_nhwc(np.asarray(mini_batch["label"]))
+        x = self._batch_in(mini_batch["image"])
+        y = self._batch_in(mini_batch["label"])
         if self.at is not None:
-            bg = jnp.asarray(np.asarray(mini_batch["background"]))[:, 0]
+            bg = self.shard_array(np.asarray(mini_batch["background"])[:, 0])
             adv, y_crop = self._at_step(
                 self.params["model"], x[..., 0], bg, y[..., 0], self.next_rng())
             x, y = adv[..., None], y_crop[..., None]
@@ -301,7 +331,7 @@ class SegAlgorithm(BaseAlgorithm):
 
     def inference(self, mini_batch, post_transformations,
                   phase: Phase = Phase.TEST):
-        x = _nchw_to_nhwc(np.asarray(mini_batch["image"]))
+        x = self._batch_in(mini_batch["image"])
         if self.parameterless:
             pred_nchw = np.asarray(self.net(np.asarray(mini_batch["image"])))
             losses = {}
@@ -309,7 +339,7 @@ class SegAlgorithm(BaseAlgorithm):
                 y_nchw = np.asarray(mini_batch["label"])
                 losses = {self.loss_name or "loss": float(0.0)}
         elif phase != Phase.TEST:
-            y = _nchw_to_nhwc(np.asarray(mini_batch["label"]))
+            y = self._batch_in(mini_batch["label"])
             pred, loss = self._eval_step(self.params["model"], x, y)
             pred_nchw = _nhwc_to_nchw(pred)
             losses = {self.loss_name: loss}
@@ -545,9 +575,9 @@ class GanSegAlgorithm(BaseAlgorithm):
 
     # ------------------------------------------------------------------
     def perform_training_step(self, mini_batch, post_transformations):
-        real_A = _nchw_to_nhwc(np.asarray(mini_batch["real_A"]))
-        real_B = _nchw_to_nhwc(np.asarray(mini_batch["real_B"]))
-        real_A_seg = _nchw_to_nhwc(np.asarray(mini_batch["real_A_seg"]))
+        real_A = self._batch_in(mini_batch["real_A"])
+        real_B = self._batch_in(mini_batch["real_B"])
+        real_A_seg = self._batch_in(mini_batch["real_A_seg"])
         self.params, self.opt_state, outs, losses = self._train_step(
             self.params, self.opt_state, real_A, real_B, real_A_seg)
         fake_B, idt_B, fake_B_seg, real_B_seg = outs
@@ -564,12 +594,12 @@ class GanSegAlgorithm(BaseAlgorithm):
 
     def inference(self, mini_batch, post_transformations,
                   phase: Phase = Phase.TEST):
-        x = _nchw_to_nhwc(np.asarray(mini_batch["image"]))
+        x = self._batch_in(mini_batch["image"])
         losses = {}
         if "segmentor" in self.params:
             pred = self._seg_eval(self.params["segmentor"], x)
             if phase == Phase.VALIDATION and "label" in mini_batch:
-                y = _nchw_to_nhwc(np.asarray(mini_batch["label"]))
+                y = self._batch_in(mini_batch["label"])
                 losses[self.loss_name_s] = self.s_loss(pred, y)
         else:
             pred = self._gen_eval(self.params["generator"], x)

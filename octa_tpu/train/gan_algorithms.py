@@ -128,14 +128,14 @@ class _UnpairedBase(BaseAlgorithm):
 
     def _gen_inference(self, net_name, mini_batch, post_transformations,
                        phase, cycle_loss=None, cycle_loss_name="L1_cycle"):
-        x = _nchw_to_nhwc(np.asarray(mini_batch["image"]))
+        x = self._batch_in(mini_batch["image"])
         pred = self._infer(net_name, x)
         outputs = {"prediction": _post_first(
             post_transformations.get("prediction"), _nhwc_to_nchw(pred))}
         losses: dict[str, Any] = {}
         if phase == Phase.VALIDATION and "label" in mini_batch \
                 and cycle_loss is not None:
-            y = _nchw_to_nhwc(np.asarray(mini_batch["label"]))
+            y = self._batch_in(mini_batch["label"])
             outputs["label"] = _post_first(
                 post_transformations.get("label"),
                 np.asarray(mini_batch["label"]))
@@ -290,10 +290,10 @@ class CycleGANAlgorithm(_UnpairedBase):
         self._g_step, self._d_step = g_step, d_step
 
     def perform_training_step(self, mini_batch, post_transformations):
-        real_A = _nchw_to_nhwc(np.asarray(mini_batch["real_A"]))
-        real_B = _nchw_to_nhwc(np.asarray(mini_batch["real_B"]))
+        real_A = self._batch_in(mini_batch["real_A"])
+        real_B = self._batch_in(mini_batch["real_B"])
         if "background" in mini_batch:
-            background = _nchw_to_nhwc(np.asarray(mini_batch["background"]))
+            background = self._batch_in(mini_batch["background"])
         else:
             background = jax.random.uniform(self.next_rng(), real_A.shape)
         u = jax.random.uniform(self.next_rng(), real_A.shape)
@@ -492,8 +492,8 @@ class CUTAlgorithm(_UnpairedBase):
         self._step = step
 
     def perform_training_step(self, mini_batch, post_transformations):
-        real_A = _nchw_to_nhwc(np.asarray(mini_batch["real_A"]))
-        real_B = _nchw_to_nhwc(np.asarray(mini_batch["real_B"]))
+        real_A = self._batch_in(mini_batch["real_A"])
+        real_B = self._batch_in(mini_batch["real_B"])
         ids_a = _sample_patch_ids(self.next_rng(), self.feat_sizes,
                                   self.num_patches)
         ids_b = _sample_patch_ids(self.next_rng(), self.feat_sizes,
@@ -696,8 +696,8 @@ class NEGCUTAlgorithm(CUTAlgorithm):
         self._step = step
 
     def perform_training_step(self, mini_batch, post_transformations):
-        real_A = _nchw_to_nhwc(np.asarray(mini_batch["real_A"]))
-        real_B = _nchw_to_nhwc(np.asarray(mini_batch["real_B"]))
+        real_A = self._batch_in(mini_batch["real_A"])
+        real_B = self._batch_in(mini_batch["real_B"])
         ids_a = _sample_patch_ids(self.next_rng(), self.feat_sizes,
                                   self.num_patches)
         ids_b = _sample_patch_ids(self.next_rng(), self.feat_sizes,
@@ -892,10 +892,10 @@ class DCLGANAlgorithm(_UnpairedBase):
         self._d_step, self._g_step = d_step, g_step
 
     def perform_training_step(self, mini_batch, post_transformations):
-        real_A = _nchw_to_nhwc(np.asarray(mini_batch["real_A"]))
-        real_B = _nchw_to_nhwc(np.asarray(mini_batch["real_B"]))
+        real_A = self._batch_in(mini_batch["real_A"])
+        real_B = self._batch_in(mini_batch["real_B"])
         if "background" in mini_batch:
-            background = _nchw_to_nhwc(np.asarray(mini_batch["background"]))
+            background = self._batch_in(mini_batch["background"])
         else:
             background = jax.random.uniform(self.next_rng(), real_A.shape)
         u = jax.random.uniform(self.next_rng(), real_A.shape)
@@ -1128,10 +1128,10 @@ class NiceGANAlgorithm(_UnpairedBase):
         self._step = step
 
     def perform_training_step(self, mini_batch, post_transformations):
-        real_A = _nchw_to_nhwc(np.asarray(mini_batch["real_A"]))
-        real_B = _nchw_to_nhwc(np.asarray(mini_batch["real_B"]))
+        real_A = self._batch_in(mini_batch["real_A"])
+        real_B = self._batch_in(mini_batch["real_B"])
         if "background" in mini_batch:
-            background = _nchw_to_nhwc(np.asarray(mini_batch["background"]))
+            background = self._batch_in(mini_batch["background"])
         else:
             background = jax.random.uniform(self.next_rng(), real_A.shape)
         u = jax.random.uniform(self.next_rng(), real_A.shape)
@@ -1154,7 +1154,7 @@ class NiceGANAlgorithm(_UnpairedBase):
         return outputs, {k: float(v) for k, v in losses.items()}
 
     def inference(self, mini_batch, post_transformations, phase=Phase.TEST):
-        x = _nchw_to_nhwc(np.asarray(mini_batch["image"]))
+        x = self._batch_in(mini_batch["image"])
         if "gen2B" in self.params:
             (out0, out1, cam, heat, z), _ = self.networks["disA"].apply(
                 {"params": self.params["disA"], **self.mutables["disA"]}, x,
@@ -1169,7 +1169,7 @@ class NiceGANAlgorithm(_UnpairedBase):
             post_transformations.get("prediction"), _nhwc_to_nchw(pred))}
         losses = {}
         if phase == Phase.VALIDATION and "label" in mini_batch:
-            y = _nchw_to_nhwc(np.asarray(mini_batch["label"]))
+            y = self._batch_in(mini_batch["label"])
             outputs["label"] = _post_first(
                 post_transformations.get("label"),
                 np.asarray(mini_batch["label"]))

@@ -19,6 +19,10 @@ if __name__ == "__main__":
     parser.add_argument("--split", type=str, default="")
     parser.add_argument("--save_latest", type=bool, default=True)
     parser.add_argument("--num_workers", type=int, default=None)
+    parser.add_argument(
+        "--profile", action="store_true",
+        help="capture a jax.profiler trace of the first epochs into the run "
+             "dir (view with TensorBoard or xprof)")
     args, unknown = parser.parse_known_args()
 
     config = load_config(args.config_file)
@@ -28,4 +32,16 @@ if __name__ == "__main__":
 
     from octa_tpu.train.engine import train
 
-    train(args, config)
+    if args.profile:
+        import os
+
+        import jax
+
+        trace_dir = os.path.join(
+            config.get("Output", {}).get("save_dir", "./results"),
+            "profile_trace")
+        with jax.profiler.trace(trace_dir):
+            run_dir = train(args, config)
+        print(f"Profiler trace written to {trace_dir}")
+    else:
+        train(args, config)
