@@ -24,11 +24,23 @@ __version__ = "0.1.0"
 
 import os as _os
 
+import jax as _jax
+
 if _os.environ.get("OCTA_TPU_PLATFORM"):
     # Working platform override for environments where a sitecustomize pins
     # JAX_PLATFORMS before user code runs (e.g. force the CPU backend with
     # OCTA_TPU_PLATFORM=cpu for debugging / cross-backend comparison).
     # Must happen before any jax computation.
-    import jax as _jax
-
     _jax.config.update("jax_platforms", _os.environ["OCTA_TPU_PLATFORM"])
+
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    # Persistent compilation cache: compiles of the big growth/training
+    # programs take minutes through the remote-compile tunnel; caching them
+    # on disk cuts repeat process startup ~5x (measured 305s -> 66s).
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.expanduser("~/.cache/octa_tpu/jax_cache"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass

@@ -62,6 +62,7 @@ class GrowthState(NamedTuple):
     co2: SinkState
     sigma_t: jax.Array
     d_cur: jax.Array       # current inter-node distance (compounds per mode)
+    d_start: jax.Array     # d at the current mode's entry (fixed per mode)
     faz_radius: jax.Array  # per-sim sampled FAZ radius (sim units)
     key: jax.Array
 
@@ -116,36 +117,43 @@ def _oxygen_distance(r, param_scale):
     return c1 * 6.0 / param_scale
 
 
-def _chunked_nearest(query, points, valid, chunk=512):
-    """(min_dist, argmin) from each query [Q,3] to valid points [NC,3]."""
+def _chunked_nearest(query, points, valid, chunk=2048, n_valid=None):
+    """(min_dist, argmin) from each query [Q,3] to valid points [NC,3].
+
+    ``n_valid`` is accepted for API stability but intentionally unused: see
+    the NOTE below — the live node count is bounded by capacity staging in
+    ``develop_forest`` instead of a dynamic trip count."""
     nc = points.shape[0]
     n_chunks = -(-nc // chunk)
     pad = n_chunks * chunk - nc
     pts = jnp.pad(points, ((0, pad), (0, 0)))
     val = jnp.pad(valid, (0, pad))
+    pts_c = pts.reshape(n_chunks, chunk, 3)
+    val_c = val.reshape(n_chunks, chunk)
 
     def body(carry, inp):
         best_d, best_i = carry
-        pts_c, val_c, base = inp
-        d = jnp.linalg.norm(query[:, None, :] - pts_c[None, :, :], axis=-1)
-        d = jnp.where(val_c[None, :], d, jnp.inf)
+        p, v, base = inp
+        d = jnp.linalg.norm(query[:, None, :] - p[None, :, :], axis=-1)
+        d = jnp.where(v[None, :], d, jnp.inf)
         dmin = jnp.min(d, axis=1)
         imin = jnp.argmin(d, axis=1) + base
         upd = dmin < best_d
         return (jnp.where(upd, dmin, best_d),
                 jnp.where(upd, imin, best_i)), None
 
-    pts_c = pts.reshape(n_chunks, chunk, 3)
-    val_c = val.reshape(n_chunks, chunk)
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     init = (jnp.full((query.shape[0],), jnp.inf),
             jnp.zeros((query.shape[0],), jnp.int32))
+    # NOTE: a dynamic trip count (fori_loop bounded by ceil(n_valid/chunk))
+    # is 7x SLOWER on the axon backend (while-op overhead dominates), so the
+    # scan visits all chunks; capacity staging in develop_forest bounds NC.
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (d, i), _ = jax.lax.scan(body, init, (pts_c, val_c, bases))
     return d, i
 
 
-def _chunked_min_dist_subset(query, points, valid, chunk=512):
-    d, _ = _chunked_nearest(query, points, valid, chunk)
+def _chunked_min_dist_subset(query, points, valid, chunk=2048, n_valid=None):
+    d, _ = _chunked_nearest(query, points, valid, chunk, n_valid=n_valid)
     return d
 
 
@@ -256,7 +264,8 @@ def _grow(forest: ForestState, sinks: SinkState, *, gamma, delta, d, r,
     active = (forest.n_children < 2) & (jnp.arange(nc) < forest.n_nodes)
 
     # --- attraction assignment (nearest active node within delta) ---
-    dist, idx = _chunked_nearest(sinks.pos, forest.pos, active)
+    dist, idx = _chunked_nearest(sinks.pos, forest.pos, active,
+                                 n_valid=forest.n_nodes)
     assigned = jnp.where(sinks.alive & (dist <= delta), idx, -1)
     has_assign = assigned >= 0
     aidx = jnp.clip(assigned, 0, nc - 1)
@@ -446,7 +455,8 @@ def _sinks_near_new_nodes(sinks: SinkState, forest: ForestState,
                           new_window, eps_k):
     """Mask of alive sinks within eps_k of any node in ``new_window``
     (steps 3/5 of the main loop, ``greenhouse.py:99-123``)."""
-    d = _chunked_min_dist_subset(sinks.pos, forest.pos, new_window)
+    d = _chunked_min_dist_subset(sinks.pos, forest.pos, new_window,
+                                 n_valid=forest.n_nodes)
     return sinks.alive & (d <= eps_k)
 
 
@@ -477,7 +487,8 @@ def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
     # reject near arterial nodes (within eps_n AND inside the oxygen radius)
     nc = state.art.pos.shape[0]
     exists = jnp.arange(nc) < state.art.n_nodes
-    dist_art, aidx = _chunked_nearest(cand, state.art.pos, exists)
+    dist_art, aidx = _chunked_nearest(cand, state.art.pos, exists,
+                                      n_valid=state.art.n_nodes)
     oxy_d = _oxygen_distance(state.art.radius[jnp.clip(aidx, 0, nc - 1)],
                              param_scale)
     near_bad = (dist_art <= jnp.maximum(eps_n, eps_k)) & (dist_art <= oxy_d)
@@ -500,7 +511,8 @@ def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
     # --- 3. satisfied oxygen sinks -> CO2 sources ---
     satisfied = _sinks_near_new_nodes(oxy, art, art_new, eps_k)
     ven_exists = jnp.arange(nc) < state.ven.n_nodes
-    d_ven = _chunked_min_dist_subset(oxy.pos, state.ven.pos, ven_exists)
+    d_ven = _chunked_min_dist_subset(oxy.pos, state.ven.pos, ven_exists,
+                                     n_valid=state.ven.n_nodes)
     to_co2 = satisfied & (d_ven > eps_k)
     co2 = _append_sinks(state.co2, oxy.pos, to_co2)
     oxy = SinkState(oxy.pos, oxy.alive & ~satisfied)
@@ -521,27 +533,33 @@ def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
     sigma = state.sigma_t + mp.delta_sigma
     d_cur = jnp.maximum(d_start / sigma, 0.04 / param_scale)
 
-    return GrowthState(art, ven, oxy, co2, sigma, d_cur,
+    return GrowthState(art, ven, oxy, co2, sigma, d_cur, state.d_start,
                        state.faz_radius, key)
 
 
 def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
              r0, rotation_radius, faz_center, size_z,
-             murray_sweeps=8, collect_stats: bool = False):
-    """Run all iterations of one mode under lax.scan. Sigma resets to 1
-    at mode entry and ``d`` continues (compounds) from the previous mode,
-    as in ``init_params_from_config`` (``greenhouse.py:34-51``).
+             murray_sweeps=8, collect_stats: bool = False,
+             i0: int = 0, seg_len: int | None = None):
+    """Run iterations ``i0 .. i0+seg_len`` of one mode under lax.scan.
+    Sigma resets to 1 at mode entry (i0 == 0) and ``d`` continues
+    (compounds) from the previous mode, as in ``init_params_from_config``
+    (``greenhouse.py:34-51``). Segmenting (i0 > 0) lets the driver grow the
+    node capacity between segments instead of paying the final capacity for
+    every iteration.
 
     With ``collect_stats`` returns per-iteration counters (node / sink
     counts, sigma) — the data behind the reference's ``save_stats`` plots
     (``greenhouse.py:401-441``)."""
     n_cand = int(mp.N)
-    d_start = state.d_cur
-    state = state._replace(sigma_t=jnp.float32(1.0))
+    seg_len = mp.I if seg_len is None else seg_len
+    if i0 == 0:
+        state = state._replace(sigma_t=jnp.float32(1.0),
+                               d_start=state.d_cur)
 
     def body(st, i):
         st = _iteration(
-            st, mp, i, t0 + i, d_start, param_scale=param_scale,
+            st, mp, i, t0 + i, st.d_start, param_scale=param_scale,
             r0=r0, rotation_radius=rotation_radius, faz_center=faz_center,
             size_z=size_z, n_cand=n_cand, murray_sweeps=murray_sweeps)
         stats = None
@@ -555,7 +573,7 @@ def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
             ])
         return st, stats
 
-    state, stats = jax.lax.scan(body, state, jnp.arange(mp.I))
+    state, stats = jax.lax.scan(body, state, i0 + jnp.arange(seg_len))
     return (state, stats) if collect_stats else state
 
 
@@ -648,65 +666,102 @@ class Greenhouse:
             for i, m in enumerate(config["modes"])
         ]
 
-    def init_state(self, forest_config: dict, rng_seed: int) -> GrowthState:
+    def init_state(self, forest_config: dict, rng_seed: int,
+                   node_capacity: int | None = None) -> GrowthState:
         rng = np.random.default_rng(rng_seed)
         if forest_config.get("type", "stumps") != "stumps":
             raise NotImplementedError(
                 "only 'stumps' forest initialization is implemented")
+        cap = node_capacity or self.node_capacity
         walls = [k for k, v in forest_config["source_walls"].items() if v]
         art = init_forest_stumps(rng, forest_config["N_trees"], walls,
-                                 self.d, self.r, self.sizes,
-                                 self.node_capacity)
+                                 self.d, self.r, self.sizes, cap)
         ven = init_forest_stumps(rng, forest_config["N_trees"], walls,
-                                 self.d, self.r, self.sizes,
-                                 self.node_capacity)
+                                 self.d, self.r, self.sizes, cap)
         sc = self.sink_capacity
         empty = SinkState(jnp.zeros((sc, 3), jnp.float32),
                           jnp.zeros((sc,), bool))
         faz_r = rng.normal(self.faz_bound[0], self.faz_bound[1])
         return GrowthState(
             art, ven, empty, empty, jnp.float32(1.0), jnp.float32(self.d),
-            jnp.float32(max(faz_r, 0.0)),
+            jnp.float32(self.d), jnp.float32(max(faz_r, 0.0)),
             jax.random.PRNGKey(rng_seed))
+
+    #: iterations per capacity-staging segment
+    SEG_LEN = 50
 
     def develop_forest(self, forest_config: dict, batch: int = 1,
                        murray_sweeps: int = 8, collect_stats: bool = False):
-        states = [self.init_state(forest_config, self.seed + i)
+        """Grow ``batch`` samples with **capacity staging**: the growth loop's
+        dominant cost is distance computation against the node array, which
+        scales with the static capacity, not the live node count. The run is
+        split into SEG_LEN-iteration segments; before each segment the node
+        arrays are padded to a capacity forecast from the observed growth
+        rate (one tiny host sync per segment), and a saturated segment is
+        transparently re-run at doubled capacity, so results are identical
+        to a fixed-capacity run that never saturates."""
+        cap0 = _pow2ceil(max(
+            1024, 4 * forest_config.get("N_trees", 8) + 64 * self.SEG_LEN))
+        states = [self.init_state(forest_config, self.seed + i,
+                                  node_capacity=min(cap0, self.node_capacity))
                   for i in range(batch)]
-        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-        out = self._jitted_run(murray_sweeps, collect_stats)(batched)
-        return jax.block_until_ready(out)
+        state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
-    def _jitted_run(self, murray_sweeps: int, collect_stats: bool = False):
-        """Cache the jitted growth program per (batch-independent) config.
-        A fresh ``jax.jit`` wrapper per call would re-trace AND re-compile
-        every ``develop_forest`` — pure waste, and repeated remote compiles
-        are the main source of tunnel flakiness on the axon TPU backend."""
+        segments = []
+        t0 = 0
+        for mi, mp in enumerate(self.modes):
+            for i0 in range(0, mp.I, self.SEG_LEN):
+                segments.append((mi, t0, i0, min(self.SEG_LEN, mp.I - i0)))
+            t0 += mp.I
+        all_stats = []
+        slope = 64.0  # nodes/iteration forecast, refined per segment
+        n_now = float(np.asarray(
+            jnp.maximum(state.art.n_nodes, state.ven.n_nodes)).max())
+        for mi, t0, i0, seg_len in segments:
+            while True:
+                cap = _pow2ceil(int(n_now + slope * seg_len * 2.5) + 64)
+                cap = min(max(cap, 1024), self.node_capacity)
+                seg_state = _resize_forests(state, cap)
+                fn = self._jitted_segment(
+                    mi, t0, i0, seg_len, cap, murray_sweeps, collect_stats)
+                out = jax.block_until_ready(fn(seg_state))
+                new_state, stats = out if collect_stats else (out, None)
+                n_after = float(np.asarray(jnp.maximum(
+                    new_state.art.n_nodes, new_state.ven.n_nodes)).max())
+                if n_after >= cap - 2 and cap < self.node_capacity:
+                    slope *= 2.0  # saturated: redo the segment, bigger
+                    continue
+                break
+            slope = max(24.0, (n_after - n_now) / seg_len)
+            n_now = n_after
+            state = new_state
+            if collect_stats:
+                all_stats.append(stats)
+        if collect_stats:
+            return state, jnp.concatenate(all_stats, axis=1)
+        return state
+
+    def _jitted_segment(self, mode_idx: int, t0: int, i0: int, seg_len: int,
+                        cap: int, murray_sweeps: int, collect_stats: bool):
+        """Cache jitted segment programs. A fresh ``jax.jit`` wrapper per
+        call would re-trace AND re-compile every ``develop_forest`` — pure
+        waste, and repeated remote compiles are the main source of tunnel
+        flakiness on the axon TPU backend."""
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
-        key = (murray_sweeps, collect_stats)
+        key = (mode_idx, t0, i0, seg_len, cap, murray_sweeps, collect_stats)
         if key not in self._jit_cache:
-            def run_all(state):
-                t0 = 0
-                all_stats = []
-                for mp in self.modes:
-                    out = run_mode(
-                        state, mp, t0, param_scale=self.param_scale,
-                        r0=self.r, rotation_radius=self.rotation_radius,
-                        faz_center=jnp.asarray(self.faz_center),
-                        size_z=self.sizes[2], murray_sweeps=murray_sweeps,
-                        collect_stats=collect_stats)
-                    if collect_stats:
-                        state, stats = out
-                        all_stats.append(stats)
-                    else:
-                        state = out
-                    t0 += mp.I
-                if collect_stats:
-                    return state, jnp.concatenate(all_stats, axis=0)
-                return state
+            mp = self.modes[mode_idx]
 
-            self._jit_cache[key] = jax.jit(jax.vmap(run_all))
+            def run_seg(state):
+                return run_mode(
+                    state, mp, t0, param_scale=self.param_scale,
+                    r0=self.r, rotation_radius=self.rotation_radius,
+                    faz_center=jnp.asarray(self.faz_center),
+                    size_z=self.sizes[2], murray_sweeps=murray_sweeps,
+                    collect_stats=collect_stats, i0=i0, seg_len=seg_len)
+
+            self._jit_cache[key] = jax.jit(jax.vmap(run_seg))
         return self._jit_cache[key]
 
     def save_stats(self, state: GrowthState, stats, out_dir: str,
@@ -756,6 +811,34 @@ class Greenhouse:
         fig.tight_layout()
         fig.savefig(os.path.join(out_dir, "stats.png"))
         plt.close(fig)
+
+
+def _pow2ceil(n: int) -> int:
+    return 1 << (max(int(n), 1) - 1).bit_length()
+
+
+def _resize_forests(state: GrowthState, cap: int) -> GrowthState:
+    """Pad both (batched) forests' node arrays up to capacity ``cap``
+    (never shrinks — shrinking could drop live nodes)."""
+    cur = state.art.pos.shape[-2]
+    if cap <= cur:
+        return state
+    extra = cap - cur
+
+    def grow(f: ForestState) -> ForestState:
+        pad2 = [(0, 0)] * (f.pos.ndim - 2) + [(0, extra), (0, 0)]
+        pad1 = [(0, 0)] * (f.radius.ndim - 1) + [(0, extra)]
+        return ForestState(
+            pos=jnp.pad(f.pos, pad2),
+            radius=jnp.pad(f.radius, pad1),
+            parent=jnp.pad(f.parent, pad1, constant_values=-1),
+            first_child=jnp.pad(f.first_child, pad1, constant_values=-1),
+            n_children=jnp.pad(f.n_children, pad1),
+            is_root=jnp.pad(f.is_root, pad1),
+            n_nodes=f.n_nodes,
+        )
+
+    return state._replace(art=grow(state.art), ven=grow(state.ven))
 
 
 def forest_to_edges(forest_state, sim_index: int | None = None) -> dict:
