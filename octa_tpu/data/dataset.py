@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import re
+import atexit
 import threading
 from glob import glob
 from queue import Queue
@@ -171,7 +172,7 @@ class DataLoader:
         def worker():
             try:
                 for batch in self._batches():
-                    if not put(batch):
+                    if stop.is_set() or not put(batch):
                         return
             except BaseException as e:  # surfaced in the consumer
                 put(e)
@@ -179,6 +180,7 @@ class DataLoader:
                 put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
+        _register_loader_thread(stop, t)
         t.start()
         try:
             while True:
@@ -190,6 +192,28 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+_LOADER_THREADS: list = []
+
+
+def _register_loader_thread(stop: threading.Event, t: threading.Thread):
+    _LOADER_THREADS.append((stop, t))
+
+
+def _shutdown_loader_threads():
+    """Stop prefetch workers before interpreter teardown: a daemon thread
+    dying mid-XLA-call aborts the process with
+    'terminate called after throwing an instance of ...' at exit."""
+    for stop, t in _LOADER_THREADS:
+        stop.set()
+    for _, t in _LOADER_THREADS:
+        if t.is_alive():
+            t.join(timeout=2.0)
+    _LOADER_THREADS.clear()
+
+
+atexit.register(_shutdown_loader_threads)
 
 
 def get_post_transformation(config: dict, phase) -> dict[str, Compose]:

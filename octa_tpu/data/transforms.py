@@ -79,8 +79,6 @@ class LoadImaged(Transform):
         super().__init__(keys, allow_missing_keys)
 
     def __call__(self, data):
-        from PIL import Image
-
         for k in self._iter_keys(data):
             path = str(data[k])
             if path.endswith(".npy"):
@@ -94,7 +92,18 @@ class LoadImaged(Transform):
                 except ImportError:  # .nii.npy fallback written by our CLI
                     data[k] = np.load(path + ".npy").astype(np.float32)
             else:
-                data[k] = np.asarray(Image.open(path)).astype(np.float32)
+                img = None
+                if path.endswith(".png"):
+                    # native libpng decoder (C++ thread pool for batches);
+                    # PIL fallback below covers failures / other formats
+                    from octa_tpu.native import read_png_native
+
+                    img = read_png_native(path)
+                if img is None:
+                    from PIL import Image
+
+                    img = np.asarray(Image.open(path))
+                data[k] = img.astype(np.float32)
         return data
 
 
