@@ -161,21 +161,39 @@ def _chunked_min_dist_subset(query, points, valid, chunk=2048, n_valid=None):
 # Oxygen sink sampling
 # ---------------------------------------------------------------------------
 
-def _sample_candidates(key, n_cand, faz_center, faz_radius_sim, size_z):
+def _sample_candidates(key, n_cand, faz_center, faz_radius_sim, size_z,
+                       nerve_center=None, nerve_radius=0.0, geometry=None):
     """Candidate sink positions: jittered voxels of the 76x76x1 grid with the
-    FAZ disc carved out (``simulation_space.py:36-54``; the validity test is
-    evaluated per-candidate instead of materializing the voxel list)."""
+    FAZ disc (and optionally the optic-nerve disc) carved out
+    (``simulation_space.py:36-54``; the validity test is evaluated
+    per-candidate instead of materializing the voxel list). When a
+    ``geometry`` boolean voxel mask is given (``oxygen_sample_geometry_path``
+    configs), validity comes from the mask lookup instead."""
     k1, k2 = jax.random.split(key)
-    vox = jax.random.randint(k1, (n_cand, 2), 0, GEOMETRY_SIZE)
+    gsize = GEOMETRY_SIZE if geometry is None else max(geometry.shape)
+    vox = jax.random.randint(k1, (n_cand, 2), 0, gsize)
     jitter = jax.random.uniform(k2, (n_cand, 3))
-    # reference geometry: (x - cx)^2 + (y - cy)^2 > (faz_r*G*0.5)^2 on voxels
-    cx = faz_center[0] * GEOMETRY_SIZE
-    cy = faz_center[1] * GEOMETRY_SIZE
-    rr = faz_radius_sim * GEOMETRY_SIZE * 0.5
-    valid = ((vox[:, 0] - cx) ** 2 + (vox[:, 1] - cy) ** 2) > rr**2
+    if geometry is not None:
+        gx = jnp.clip(vox[:, 0], 0, geometry.shape[0] - 1)
+        gy = jnp.clip(vox[:, 1], 0, geometry.shape[1] - 1)
+        valid = geometry[gx, gy]
+    else:
+        # reference: (x - cx)^2 + (y - cy)^2 > (faz_r*G*0.5)^2 on voxels
+        cx = faz_center[0] * gsize
+        cy = faz_center[1] * gsize
+        rr = faz_radius_sim * gsize * 0.5
+        valid = ((vox[:, 0] - cx) ** 2 + (vox[:, 1] - cy) ** 2) > rr**2
+        if nerve_center is not None:
+            # optic-nerve carving (``simulation_space.py:45-49``), applied
+            # when the nerve disc intersects the unit space
+            ncx = nerve_center[0] * gsize
+            ncy = nerve_center[1] * gsize
+            nrr = nerve_radius * gsize
+            valid &= ((vox[:, 0] - ncx) ** 2
+                      + (vox[:, 1] - ncy) ** 2) > nrr**2
     pos = jnp.concatenate(
-        [(vox.astype(jnp.float32) + jitter[:, :2]) / GEOMETRY_SIZE,
-         (jitter[:, 2:3] * size_z * GEOMETRY_SIZE) / GEOMETRY_SIZE], axis=-1)
+        [(vox.astype(jnp.float32) + jitter[:, :2]) / gsize,
+         (jitter[:, 2:3] * size_z * gsize) / gsize], axis=-1)
     return pos, valid
 
 
@@ -462,7 +480,8 @@ def _sinks_near_new_nodes(sinks: SinkState, forest: ForestState,
 
 def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
                param_scale, r0, rotation_radius, faz_center, size_z,
-               n_cand, murray_sweeps=8) -> GrowthState:
+               n_cand, murray_sweeps=8, nerve_center=None,
+               nerve_radius=0.0, geometry=None) -> GrowthState:
     """One greenhouse iteration (``greenhouse.py:90-126``).
 
     ``i`` is the within-mode index: at i==0 the raw mode parameters apply
@@ -482,8 +501,10 @@ def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
         jnp.maximum(d_start / state.sigma_t, 0.04 / param_scale))
 
     # --- 1. sample oxygen sinks ---
-    cand, valid = _sample_candidates(k_cand, n_cand, faz_center,
-                                     state.faz_radius, size_z)
+    cand, valid = _sample_candidates(
+        k_cand, n_cand, faz_center, state.faz_radius, size_z,
+        nerve_center=nerve_center, nerve_radius=nerve_radius,
+        geometry=geometry)
     # reject near arterial nodes (within eps_n AND inside the oxygen radius)
     nc = state.art.pos.shape[0]
     exists = jnp.arange(nc) < state.art.n_nodes
@@ -540,7 +561,8 @@ def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
 def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
              r0, rotation_radius, faz_center, size_z,
              murray_sweeps=8, collect_stats: bool = False,
-             i0: int = 0, seg_len: int | None = None):
+             i0: int = 0, seg_len: int | None = None,
+             nerve_center=None, nerve_radius=0.0, geometry=None):
     """Run iterations ``i0 .. i0+seg_len`` of one mode under lax.scan.
     Sigma resets to 1 at mode entry (i0 == 0) and ``d`` continues
     (compounds) from the previous mode, as in ``init_params_from_config``
@@ -561,7 +583,9 @@ def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
         st = _iteration(
             st, mp, i, t0 + i, st.d_start, param_scale=param_scale,
             r0=r0, rotation_radius=rotation_radius, faz_center=faz_center,
-            size_z=size_z, n_cand=n_cand, murray_sweeps=murray_sweeps)
+            size_z=size_z, n_cand=n_cand, murray_sweeps=murray_sweeps,
+            nerve_center=nerve_center, nerve_radius=nerve_radius,
+            geometry=geometry)
         stats = None
         if collect_stats:
             stats = jnp.stack([
@@ -646,12 +670,28 @@ class Greenhouse:
         self.rotation_radius = config["rotation_radius"] / self.param_scale
         self.faz_center = np.asarray(config["FAZ_center"], np.float32)
         ss = config["SimulationSpace"]
+        self.geometry = None
+        self.nerve_center = None
+        self.nerve_radius = 0.0
         if ss.get("oxygen_sample_geometry_path"):
             geo = np.load(ss["oxygen_sample_geometry_path"])
             gs = max(geo.shape)
             self.sizes = tuple(np.array(geo.shape) / gs)
+            self.geometry = jnp.asarray(
+                np.squeeze(np.asarray(geo, bool), axis=-1)
+                if geo.ndim == 3 else np.asarray(geo, bool))
         else:
             self.sizes = (ss["no_voxel_x"], ss["no_voxel_y"], ss["no_voxel_z"])
+            # optic-nerve disc carving from the sampling geometry
+            # (``simulation_space.py:45-49``): active when the disc
+            # intersects the unit simulation space
+            if "nerve_center" in config and "nerve_radius" in config:
+                nc = np.asarray(config["nerve_center"],
+                                np.float32) / self.param_scale
+                nr = float(config["nerve_radius"]) / self.param_scale
+                if np.all(nc - nr <= 1.0):
+                    self.nerve_center = jnp.asarray(nc)
+                    self.nerve_radius = nr
         self.node_capacity = node_capacity
         self.sink_capacity = sink_capacity
         self.seed = seed
@@ -759,7 +799,10 @@ class Greenhouse:
                     r0=self.r, rotation_radius=self.rotation_radius,
                     faz_center=jnp.asarray(self.faz_center),
                     size_z=self.sizes[2], murray_sweeps=murray_sweeps,
-                    collect_stats=collect_stats, i0=i0, seg_len=seg_len)
+                    collect_stats=collect_stats, i0=i0, seg_len=seg_len,
+                    nerve_center=self.nerve_center,
+                    nerve_radius=self.nerve_radius,
+                    geometry=self.geometry)
 
             self._jit_cache[key] = jax.jit(jax.vmap(run_seg))
         return self._jit_cache[key]

@@ -115,3 +115,37 @@ def test_csv_export_roundtrip(grown, tmp_path):
     assert len(arrays["radius"]) == len(art["radius"]) + len(ven["radius"])
     img, _ = raster.rasterize_forest(arrays, [64, 64], 2)
     assert img.max() > 100  # vessels rendered
+
+
+def test_nerve_disc_carved_from_sampling():
+    """Candidates inside the optic-nerve disc must be rejected
+    (reference simulation_space.py:45-49)."""
+    import jax
+    import jax.numpy as jnp
+    from octa_tpu.sim.greenhouse import _sample_candidates
+
+    nerve_c = jnp.asarray([0.5, 0.5])
+    pos, valid = _sample_candidates(
+        jax.random.PRNGKey(0), 4000, jnp.asarray([0.1, 0.1]),
+        jnp.float32(0.0), 1 / 76, nerve_center=nerve_c, nerve_radius=0.2)
+    d = np.linalg.norm(np.asarray(pos[:, :2]) - 0.5, axis=-1)
+    inside = d < 0.18  # margin inside the disc (voxel-quantized test)
+    assert inside.sum() > 50  # sanity: the region was sampled at all
+    assert not np.asarray(valid)[inside].any()
+
+
+def test_geometry_mask_sampling():
+    """A .npy geometry mask drives candidate validity when provided."""
+    import jax
+    import jax.numpy as jnp
+    from octa_tpu.sim.greenhouse import _sample_candidates
+
+    mask = np.ones((76, 76), bool)
+    mask[:38] = False  # left half invalid
+    pos, valid = _sample_candidates(
+        jax.random.PRNGKey(1), 4000, jnp.asarray([0.5, 0.5]),
+        jnp.float32(0.3), 1 / 76, geometry=jnp.asarray(mask))
+    x = np.asarray(pos[:, 0])
+    v = np.asarray(valid)
+    assert not v[x < 0.49].any()
+    assert v[x > 0.51].mean() > 0.95
