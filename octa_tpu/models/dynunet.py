@@ -139,9 +139,11 @@ class CanonConv(nn.Module):
         kernel = self.param("kernel", kaiming, (k, k, cin, self.features))
         kd = kernel.astype(self.dtype)
         xd = x.astype(self.dtype)
+        # no preferred_element_type: a f32-accumulating conv breaks under
+        # autodiff with bf16 operands (mixed-dtype cotangent convs); the MXU
+        # accumulates bf16 convs in f32 internally regardless
         conv = functools.partial(
-            jax.lax.conv_general_dilated, dimension_numbers=_DN,
-            preferred_element_type=jnp.float32)
+            jax.lax.conv_general_dilated, dimension_numbers=_DN)
         if self.mode == "direct":
             y = conv(xd, kd, (s, s), [(k // 2, k // 2)] * 2)
         elif self.mode == "s2d":          # stride-1 k=3, S2D in/out
@@ -235,7 +237,7 @@ class _S2DTransp(nn.Module):
         w = _s2d_weights_transp(kernel.astype(self.dtype))
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w, (1, 1), [(0, 0), (0, 0)],
-            dimension_numbers=_DN, preferred_element_type=jnp.float32)
+            dimension_numbers=_DN)
         return y.astype(self.dtype)
 
 

@@ -110,3 +110,22 @@ def test_convtranspose_import_matches_torch(rng):
     w = jnp.asarray(_convT_iohw_to_hwio(wt))
     fy = T().apply({"params": {"t": {"kernel": w}}}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(fy), ty, atol=1e-4)
+
+
+def test_bf16_grads_both_paths(rng):
+    """amp (bf16) training must differentiate through both conv paths —
+    regression: preferred_element_type=f32 convs fail under autodiff with
+    bf16 operands (mixed-dtype cotangent convs)."""
+    import jax
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 1)).astype(np.float32))
+    for thresh in (32, 10 ** 9):
+        net = DynUNet(
+            spatial_dims=2, in_channels=1, out_channels=1,
+            kernel_size=[3] * 5, strides=[1, 2, 2, 2, 1],
+            upsample_kernel_size=[1, 2, 2, 2, 1], dtype=jnp.bfloat16,
+            s2d_threshold=thresh)
+        params = net.init(jax.random.PRNGKey(0), x)["params"]
+        g = jax.grad(
+            lambda p: jnp.sum(net.apply({"params": p}, x) ** 2))(params)
+        gmax = max(float(jnp.abs(v).max()) for v in jax.tree.leaves(g))
+        assert np.isfinite(gmax) and gmax > 0
