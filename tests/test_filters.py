@@ -19,7 +19,7 @@ def test_frangi_matches_skimage(rng):
     from skimage.filters import frangi as sk_frangi
 
     img = _vessel_image(rng)
-    ours = np.asarray(filters.frangi(jnp.asarray(img)))
+    ours = np.asarray(filters.frangi(jnp.asarray(img)[None]))[0]
     ref = sk_frangi(img, black_ridges=False)
     # same ridge localization: top-activation mask overlap
     thr_o = ours > 0.5 * ours.max()
@@ -53,7 +53,7 @@ def test_skrgan_sketch_properties(rng):
 
 def test_frangi_highlights_vessel(rng):
     img = _vessel_image(rng)
-    resp = np.asarray(filters.frangi(jnp.asarray(img)))
+    resp = np.asarray(filters.frangi(jnp.asarray(img)[None]))[0]
     assert resp.shape == img.shape and np.isfinite(resp).all()
     on_vessel = resp[img.shape[0] // 2, 20:-20].mean()
     off_vessel = resp[10, 20:-20].mean()
