@@ -23,12 +23,25 @@ class Visualizer:
         self.config = config
         self.save_to_disk = bool(config.get("Output", {}).get("save_to_disk"))
         base = config.get("Output", {}).get("save_dir", "./results")
+        stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
         if continue_train:
-            # reuse the directory being resumed (config Output.save_dir
-            # already points at the run snapshot's dir)
-            self.save_dir = base
+            # reference resume semantics (``visualizer.py:38-58``): fork a
+            # NEW sibling run dir, carry the checkpoints over and truncate
+            # the metrics log to the resume epoch, so the original run stays
+            # intact and the new one continues seamlessly.
+            old_dir = base
+            self.save_dir = os.path.join(os.path.dirname(base.rstrip("/"))
+                                         or ".", stamp)
+            if self.save_to_disk:
+                os.makedirs(os.path.join(self.save_dir, "checkpoints"),
+                            exist_ok=True)
+                old_ck = os.path.join(old_dir, "checkpoints")
+                if os.path.isdir(old_ck):
+                    for fn in os.listdir(old_ck):
+                        shutil.copyfile(os.path.join(old_ck, fn),
+                                        os.path.join(self.save_dir,
+                                                     "checkpoints", fn))
         else:
-            stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
             self.save_dir = os.path.join(base, stamp)
         if self.save_to_disk:
             os.makedirs(self.save_dir, exist_ok=True)
@@ -41,6 +54,10 @@ class Visualizer:
                 yaml.safe_dump(_plain(snapshot), f, sort_keys=False)
         self.metrics_path = os.path.join(self.save_dir, "metrics.csv")
         self._metric_history: dict[str, list[float]] = {}
+        if continue_train and self.save_to_disk:
+            old_metrics = os.path.join(base, "metrics.csv")
+            if os.path.exists(old_metrics):
+                self._copy_truncated_metrics(old_metrics, epoch)
         self.save_to_tensorboard = bool(
             config.get("Output", {}).get("save_to_tensorboard"))
         self._tb = None
@@ -59,6 +76,30 @@ class Visualizer:
             self._tb = SummaryWriter(
                 log_dir=os.path.join(self.save_dir, "tensorboard"))
         return self._tb
+
+    def _copy_truncated_metrics(self, old_metrics: str, epoch):
+        """Carry metrics.csv rows up to the resume epoch into the forked run
+        (and seed the in-memory history so loss.png stays continuous)."""
+        with open(old_metrics) as f:
+            rows = list(csv.DictReader(f))
+        try:
+            limit = int(epoch)
+        except (TypeError, ValueError):
+            limit = None  # 'latest'/'best': keep everything
+        kept = [r for r in rows
+                if limit is None or float(r.get("epoch", -1)) < limit]
+        if not kept:
+            return
+        with open(self.metrics_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(kept[0].keys()))
+            w.writeheader()
+            w.writerows(kept)
+        for r in kept:
+            for k, v in r.items():
+                try:
+                    self._metric_history.setdefault(k, []).append(float(v))
+                except (TypeError, ValueError):
+                    pass
 
     # -- metrics ----------------------------------------------------------
     def plot_losses_and_metrics(self, epoch_metrics: dict[str, dict], epoch: int):

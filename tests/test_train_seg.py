@@ -148,3 +148,34 @@ def test_checkpoint_roundtrip_inference(run_dir):
     pred = np.asarray(outputs["prediction"][0])
     assert pred.shape[-2:] == (64, 64)
     assert losses is None
+
+
+def test_resume_forks_run_dir(tmp_path):
+    """--start_epoch resume: new sibling run dir, carried checkpoints,
+    metrics.csv truncated to the resume epoch (reference visualizer.py:38-58).
+    """
+    import glob as _glob
+    import yaml as _yaml
+
+    cfg = _config(tmp_path, res=64, epochs=2)
+    run_dir = train(Args(), cfg)
+    assert os.path.exists(os.path.join(run_dir, "metrics.csv"))
+
+    with open(os.path.join(run_dir, "config.yml")) as f:
+        snap = _yaml.safe_load(f)
+
+    class ResumeArgs(Args):
+        start_epoch = 2
+        epoch = "latest"
+
+    snap["Train"]["epochs"] = 3
+    run_dir2 = train(ResumeArgs(), snap)
+    assert run_dir2 != run_dir
+    assert os.path.dirname(run_dir2.rstrip("/")) == \
+        os.path.dirname(run_dir.rstrip("/"))
+    # carried checkpoints + truncated-then-extended metrics
+    assert os.path.exists(
+        os.path.join(run_dir2, "checkpoints", "latest_model_model.ckpt"))
+    with open(os.path.join(run_dir2, "metrics.csv")) as f:
+        rows = f.read().strip().splitlines()
+    assert len(rows) == 1 + 3  # header + epochs 0,1 carried + epoch 2 new
