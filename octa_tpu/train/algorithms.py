@@ -390,8 +390,13 @@ class GanSegAlgorithm(BaseAlgorithm):
         self.compute_identity_seg = compute_identity_seg
         self.upshape = tuple(upshape)
         if phase == Phase.TRAIN or self.inference_mode == "S":
+            s_cfg = dict(model_s)
+            if phase == Phase.TRAIN and s_cfg.get("name") == "DynUNet":
+                # gradient-checkpoint the 1216² segmentor inside the joint
+                # step: the 3 segmentor passes otherwise need ~26GB HBM
+                s_cfg.setdefault("remat", True)
             self.networks["segmentor"] = build_network(
-                dict(model_s), dtype=self.dtype)
+                s_cfg, dtype=self.dtype)
         if phase == Phase.TRAIN or self.inference_mode == "G":
             self.networks["generator"] = build_network(
                 dict(model_g), dtype=self.dtype)
