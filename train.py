@@ -23,12 +23,25 @@ if __name__ == "__main__":
         "--profile", action="store_true",
         help="capture a jax.profiler trace of the first epochs into the run "
              "dir (view with TensorBoard or xprof)")
+    parser.add_argument(
+        "--debug", action="store_true",
+        help="fail fast on numerical anomalies: jax_debug_nans + warnings "
+             "promoted to errors (the analogue of the reference's "
+             "set_detect_anomaly / --debug modes)")
     args, unknown = parser.parse_known_args()
 
     config = load_config(args.config_file)
     apply_cli_overrides(config, unknown)
     if "seed" not in config["General"]:
         config["General"]["seed"] = randint(0, int(1e6))
+
+    if args.debug:
+        import warnings
+
+        import jax
+
+        warnings.filterwarnings("error")
+        jax.config.update("jax_debug_nans", True)
 
     from octa_tpu.train.engine import train
 
