@@ -123,7 +123,7 @@ def main(scope: str = "e2e"):
 
     # growth batch adapts downward on device faults (the tunneled TPU is
     # shared; transient UNAVAILABLE errors under memory contention)
-    growth_batch = [32]
+    growth_batch = [48]
 
     def grow(seed, n):
         samples = []

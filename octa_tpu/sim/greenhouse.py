@@ -274,7 +274,7 @@ def _rodrigues(v, axis, theta_deg):
 
 def _grow(forest: ForestState, sinks: SinkState, *, gamma, delta, d, r,
           kappa, phi, omega, faz_center, faz_radius, rotation_radius,
-          first_mode, t, key, murray_sweeps=8):
+          first_mode, t, key, murray_sweeps=8, chunk=2048):
     """One growth pass for one forest; returns (forest', satisfied_mask_fn)
     where the caller uses the returned new-node window for sink conversion."""
     nc = forest.pos.shape[0]
@@ -283,7 +283,7 @@ def _grow(forest: ForestState, sinks: SinkState, *, gamma, delta, d, r,
 
     # --- attraction assignment (nearest active node within delta) ---
     dist, idx = _chunked_nearest(sinks.pos, forest.pos, active,
-                                 n_valid=forest.n_nodes)
+                                 chunk=chunk, n_valid=forest.n_nodes)
     assigned = jnp.where(sinks.alive & (dist <= delta), idx, -1)
     has_assign = assigned >= 0
     aidx = jnp.clip(assigned, 0, nc - 1)
@@ -470,18 +470,18 @@ def _grow(forest: ForestState, sinks: SinkState, *, gamma, delta, d, r,
 # ---------------------------------------------------------------------------
 
 def _sinks_near_new_nodes(sinks: SinkState, forest: ForestState,
-                          new_window, eps_k):
+                          new_window, eps_k, chunk=2048):
     """Mask of alive sinks within eps_k of any node in ``new_window``
     (steps 3/5 of the main loop, ``greenhouse.py:99-123``)."""
     d = _chunked_min_dist_subset(sinks.pos, forest.pos, new_window,
-                                 n_valid=forest.n_nodes)
+                                 chunk=chunk, n_valid=forest.n_nodes)
     return sinks.alive & (d <= eps_k)
 
 
 def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
                param_scale, r0, rotation_radius, faz_center, size_z,
                n_cand, murray_sweeps=8, nerve_center=None,
-               nerve_radius=0.0, geometry=None) -> GrowthState:
+               nerve_radius=0.0, geometry=None, chunk=2048) -> GrowthState:
     """One greenhouse iteration (``greenhouse.py:90-126``).
 
     ``i`` is the within-mode index: at i==0 the raw mode parameters apply
@@ -509,13 +509,15 @@ def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
     nc = state.art.pos.shape[0]
     exists = jnp.arange(nc) < state.art.n_nodes
     dist_art, aidx = _chunked_nearest(cand, state.art.pos, exists,
+                                      chunk=chunk,
                                       n_valid=state.art.n_nodes)
     oxy_d = _oxygen_distance(state.art.radius[jnp.clip(aidx, 0, nc - 1)],
                              param_scale)
     near_bad = (dist_art <= jnp.maximum(eps_n, eps_k)) & (dist_art <= oxy_d)
     valid &= ~near_bad
     # reject near existing oxygen sinks
-    d_oxy = _chunked_min_dist_subset(cand, state.oxy.pos, state.oxy.alive)
+    d_oxy = _chunked_min_dist_subset(cand, state.oxy.pos,
+                                     state.oxy.alive, chunk=chunk)
     valid &= d_oxy > eps_s
     # mutual spacing (blocked greedy)
     accept = _blocked_greedy_spacing(cand, valid, eps_s)
@@ -527,12 +529,13 @@ def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
         kappa=mp.kappa, phi=mp.phi, omega=mp.omega, faz_center=faz_center,
         faz_radius=state.faz_radius, rotation_radius=rotation_radius,
         first_mode=mp.first_mode, t=t, key=k_art,
-        murray_sweeps=murray_sweeps)
+        murray_sweeps=murray_sweeps, chunk=chunk)
 
     # --- 3. satisfied oxygen sinks -> CO2 sources ---
-    satisfied = _sinks_near_new_nodes(oxy, art, art_new, eps_k)
+    satisfied = _sinks_near_new_nodes(oxy, art, art_new, eps_k, chunk=chunk)
     ven_exists = jnp.arange(nc) < state.ven.n_nodes
     d_ven = _chunked_min_dist_subset(oxy.pos, state.ven.pos, ven_exists,
+                                     chunk=chunk,
                                      n_valid=state.ven.n_nodes)
     to_co2 = satisfied & (d_ven > eps_k)
     co2 = _append_sinks(state.co2, oxy.pos, to_co2)
@@ -544,10 +547,10 @@ def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
         kappa=mp.kappa, phi=mp.phi, omega=mp.omega, faz_center=faz_center,
         faz_radius=state.faz_radius, rotation_radius=rotation_radius,
         first_mode=mp.first_mode, t=t, key=k_ven,
-        murray_sweeps=murray_sweeps)
+        murray_sweeps=murray_sweeps, chunk=chunk)
 
     # --- 5. satisfied CO2 sinks removed ---
-    co2_done = _sinks_near_new_nodes(co2, ven, ven_new, eps_k)
+    co2_done = _sinks_near_new_nodes(co2, ven, ven_new, eps_k, chunk=chunk)
     co2 = SinkState(co2.pos, co2.alive & ~co2_done)
 
     # --- 6. simulation space expansion ---
@@ -562,7 +565,8 @@ def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
              r0, rotation_radius, faz_center, size_z,
              murray_sweeps=8, collect_stats: bool = False,
              i0: int = 0, seg_len: int | None = None,
-             nerve_center=None, nerve_radius=0.0, geometry=None):
+             nerve_center=None, nerve_radius=0.0, geometry=None,
+             chunk=2048):
     """Run iterations ``i0 .. i0+seg_len`` of one mode under lax.scan.
     Sigma resets to 1 at mode entry (i0 == 0) and ``d`` continues
     (compounds) from the previous mode, as in ``init_params_from_config``
@@ -585,7 +589,7 @@ def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
             r0=r0, rotation_radius=rotation_radius, faz_center=faz_center,
             size_z=size_z, n_cand=n_cand, murray_sweeps=murray_sweeps,
             nerve_center=nerve_center, nerve_radius=nerve_radius,
-            geometry=geometry)
+            geometry=geometry, chunk=chunk)
         stats = None
         if collect_stats:
             stats = jnp.stack([
@@ -660,7 +664,8 @@ class Greenhouse:
     ``batch`` independent samples in one vmapped, jit-compiled program."""
 
     def __init__(self, config: dict, node_capacity: int = 16384,
-                 sink_capacity: int = 8192, seed: int = 0):
+                 sink_capacity: int = 8192, seed: int = 0,
+                 chunk: int = 1024):
         self.config = config
         self.param_scale = config["param_scale"]
         self.d = config["d"] / self.param_scale
@@ -694,6 +699,7 @@ class Greenhouse:
                     self.nerve_radius = nr
         self.node_capacity = node_capacity
         self.sink_capacity = sink_capacity
+        self.chunk = chunk  # distance-scan chunk: transient HBM ~ B*SC*chunk
         self.seed = seed
         self.modes = [
             ModeParams(
@@ -802,7 +808,7 @@ class Greenhouse:
                     collect_stats=collect_stats, i0=i0, seg_len=seg_len,
                     nerve_center=self.nerve_center,
                     nerve_radius=self.nerve_radius,
-                    geometry=self.geometry)
+                    geometry=self.geometry, chunk=self.chunk)
 
             self._jit_cache[key] = jax.jit(jax.vmap(run_seg))
         return self._jit_cache[key]
