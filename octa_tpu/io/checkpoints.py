@@ -118,6 +118,34 @@ def import_dynunet_pth(path: str, flax_params: dict) -> dict:
     return out
 
 
+def import_resnet_generator_pth(path: str, flax_params: dict) -> dict:
+    """Map a reference ResnetGenerator state_dict (``networks.py:350-443``,
+    Sequential indices of the 9-block antialiased generator) into our flax
+    ResnetGenerator param tree. InstanceNorm is affine-free in the reference
+    (no norm params); blur Up/Downsample filters are fixed binomial constants
+    on both sides."""
+    sd = _torch_load(path)
+    out = jax.tree.map(lambda x: x, flax_params)
+
+    def put(dst: dict, tkey: str):
+        dst["kernel"] = jnp.asarray(_conv_oihw_to_hwio(sd[f"{tkey}.weight"]))
+        if f"{tkey}.bias" in sd:
+            dst["bias"] = jnp.asarray(sd[f"{tkey}.bias"])
+
+    put(out["conv_in"], "model.1")
+    put(out["down_conv_0"], "model.4")
+    put(out["down_conv_1"], "model.8")
+    i = 0
+    while f"resblock_{i}" in out:
+        put(out[f"resblock_{i}"]["conv1"], f"model.{12 + i}.conv_block.1")
+        put(out[f"resblock_{i}"]["conv2"], f"model.{12 + i}.conv_block.5")
+        i += 1
+    put(out["up_conv_0"], f"model.{12 + i + 1}")
+    put(out["up_conv_1"], f"model.{12 + i + 5}")
+    put(out["conv_out"], f"model.{12 + i + 9}")
+    return out
+
+
 def load_network_for_inference(model_path, model_config: dict | None
                                ) -> Callable[[jax.Array], jax.Array]:
     """Build a frozen jitted ``apply(nhwc_batch) -> nhwc_batch`` from a
@@ -137,9 +165,13 @@ def load_network_for_inference(model_path, model_config: dict | None
 
     if str(model_path).endswith(".pth"):
         from octa_tpu.models.dynunet import DynUNet
+        from octa_tpu.models.resnet_gan import ResnetGenerator
 
         if isinstance(net, DynUNet):
             params = import_dynunet_pth(model_path, variables["params"])
+        elif isinstance(net, ResnetGenerator):
+            params = import_resnet_generator_pth(
+                model_path, variables["params"])
         else:
             raise NotImplementedError(
                 f".pth import for {type(net).__name__} not yet supported")

@@ -129,3 +129,43 @@ def test_bf16_grads_both_paths(rng):
             lambda p: jnp.sum(net.apply({"params": p}, x) ** 2))(params)
         gmax = max(float(jnp.abs(v).max()) for v in jax.tree.leaves(g))
         assert np.isfinite(gmax) and gmax > 0
+
+
+def test_resnet_generator_pth_import(rng, tmp_path):
+    """Reference ResnetGenerator .pth (Sequential-index keys) maps fully into
+    our flax generator; all mapped params differ from init, forward runs."""
+    torch = pytest.importorskip("torch")
+    from octa_tpu.io.checkpoints import import_resnet_generator_pth
+    from octa_tpu.models.resnet_gan import resnetGenerator9
+
+    def t(shape):
+        return torch.tensor(rng.normal(0, 0.05, shape).astype(np.float32))
+
+    sd = {"model.1.weight": t((64, 1, 7, 7)), "model.1.bias": t((64,))}
+    sd["model.4.weight"] = t((128, 64, 3, 3)); sd["model.4.bias"] = t((128,))
+    sd["model.8.weight"] = t((256, 128, 3, 3)); sd["model.8.bias"] = t((256,))
+    for i in range(9):
+        for j, tag in ((1, "conv1"), (5, "conv2")):
+            sd[f"model.{12+i}.conv_block.{j}.weight"] = t((256, 256, 3, 3))
+            sd[f"model.{12+i}.conv_block.{j}.bias"] = t((256,))
+    sd["model.22.weight"] = t((128, 256, 3, 3)); sd["model.22.bias"] = t((128,))
+    sd["model.26.weight"] = t((64, 128, 3, 3)); sd["model.26.bias"] = t((64,))
+    sd["model.30.weight"] = t((1, 64, 7, 7)); sd["model.30.bias"] = t((1,))
+    path = str(tmp_path / "gen.pth")
+    torch.save({"model": sd, "epoch": 150}, path)
+
+    net = resnetGenerator9()
+    x = jnp.asarray(rng.random((1, 64, 64, 1)).astype(np.float32))
+    init = net.init(jax.random.PRNGKey(0), x)["params"]
+    params = import_resnet_generator_pth(path, init)
+    # every conv kernel replaced (spot-check transpose correctness too)
+    leaves0 = jax.tree.leaves(init)
+    leaves1 = jax.tree.leaves(params)
+    changed = sum(
+        float(jnp.abs(a - b).max()) > 0 for a, b in zip(leaves0, leaves1))
+    assert changed == len(leaves0)
+    np.testing.assert_allclose(
+        np.asarray(params["conv_in"]["kernel"]),
+        sd["model.1.weight"].numpy().transpose(2, 3, 1, 0), atol=0)
+    y = net.apply({"params": params}, x)
+    assert y.shape == x.shape and bool(jnp.isfinite(y).all())
