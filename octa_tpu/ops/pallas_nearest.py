@@ -1,0 +1,156 @@
+"""Pallas TPU kernel for masked nearest-neighbor distance queries.
+
+This is the hot op of the vessel-growth engine (the reference uses a
+`scipy.spatial.cKDTree` rebuilt on every insert,
+``vessel_graph_generation/element_mesh.py:97-101``; our XLA fallback is the
+chunked scan in :mod:`octa_tpu.sim.greenhouse`). The XLA form materializes the
+[Q, chunk] pairwise-d² matrix to HBM and — with two validity masks — reads it
+back once per masked reduction, which makes the growth loop HBM-bound. The
+kernel keeps each d² tile in VMEM, computes the cross term on the MXU, and
+carries the running (min, argmin) of every mask across point blocks, so HBM
+traffic collapses to the inputs and the [Q]-sized outputs.
+
+Masks are passed as additive penalties fused with |p|²: ``pen = |p|² + BIG *
+(1 - mask)``, so ``d² = |q|² - 2 q·p + pen`` is one FMA per mask and invalid
+points sort to ~1e30 (callers treat sqrt(1e30) as "no neighbor").
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _nearest_kernel(q_ref, pt_ref, pen_ref, *out_refs, n_blk: int,
+                    blk: int, n_masks: int, want_idx: bool):
+    """One grid step = one (row, query-tile).
+
+    q_ref:   [1, TQ, 3] f32 — query tile.
+    pt_ref:  [1, 3, N]  f32 — transposed points for this row (whole).
+    pen_ref: [1, M, N]  f32 — per-mask additive penalties (|p|² + BIG·invalid).
+    out_refs: per mask, d² [1, TQ] f32 (+ argmin idx [1, TQ] i32 when
+    ``want_idx``).
+    """
+    q = q_ref[0]                                  # [TQ, 3]
+    q2 = jnp.sum(q * q, axis=-1)                  # [TQ]
+    tq = q.shape[0]
+
+    def body(j, carry):
+        pt = pt_ref[0, :, pl.ds(j * blk, blk)]    # [3, blk]
+        cross = jax.lax.dot_general(
+            q, pt, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)   # [TQ, blk]
+        base = q2[:, None] - 2.0 * cross
+        new = []
+        for m in range(n_masks):
+            pen = pen_ref[0, m, pl.ds(j * blk, blk)]
+            dm = base + pen[None, :]
+            bmin = jnp.min(dm, axis=1)
+            if want_idx:
+                iota = jax.lax.broadcasted_iota(jnp.int32, (tq, blk), 1)
+                bidx = jnp.min(
+                    jnp.where(dm <= bmin[:, None], iota, blk), axis=1
+                ) + j * blk
+            cd = carry[2 * m] if want_idx else carry[m]
+            upd = bmin < cd
+            if want_idx:
+                ci = carry[2 * m + 1]
+                new += [jnp.where(upd, bmin, cd), jnp.where(upd, bidx, ci)]
+            else:
+                new.append(jnp.where(upd, bmin, cd))
+        return tuple(new)
+
+    init = []
+    for _ in range(n_masks):
+        init.append(jnp.full((tq,), jnp.inf, jnp.float32))
+        if want_idx:
+            init.append(jnp.zeros((tq,), jnp.int32))
+    res = jax.lax.fori_loop(0, n_blk, body, tuple(init))
+    for r, ref in zip(res, out_refs):
+        ref[0, 0, 0] = r
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("want_idx", "tq", "blk", "interpret"),
+)
+def masked_nearest_pallas(query, points, masks, *, want_idx: bool = True,
+                          tq: int = 128, blk: int = 2048,
+                          interpret: bool = False):
+    """Masked nearest-neighbor distances (Pallas TPU kernel).
+
+    query:  [R, Q, 3] f32 — query positions, R independent rows.
+    points: [R, N, 3] f32 — candidate points per row.
+    masks:  [R, M, N] bool — M validity masks per row; each mask yields its
+            own minima.
+
+    Returns (d [R, M, Q] — true euclidean distance, huge (~1e15) where no
+    valid point; idx [R, M, Q] i32 argmin when ``want_idx``).
+    """
+    r, qn = query.shape[0], query.shape[1]
+    n = points.shape[1]
+    m = masks.shape[1]
+    blk = min(blk, max(256, 1 << (n - 1).bit_length()))
+    q_pad = _cdiv(qn, tq) * tq
+    n_pad = _cdiv(n, blk) * blk
+    query = jnp.pad(query.astype(jnp.float32), ((0, 0), (0, q_pad - qn),
+                                                (0, 0)))
+    pts = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, n_pad - n),
+                                               (0, 0)))
+    pen = jnp.sum(pts * pts, axis=-1)[:, None, :] + jnp.where(
+        jnp.pad(masks, ((0, 0), (0, 0), (0, n_pad - n))), 0.0, BIG)
+    pts_t = jnp.swapaxes(pts, 1, 2)               # [R, 3, N]
+
+    n_q_tiles = q_pad // tq
+    n_blk = n_pad // blk
+    # The trailing singleton keeps the block's last two dims equal to the
+    # array's (Mosaic requires (8,128)-divisible or full-dim blocks), and
+    # stays correct under vmap (batching prepends dims to both).
+    outs = []
+    for _ in range(m):
+        outs.append(
+            jax.ShapeDtypeStruct((r, n_q_tiles, 1, tq), jnp.float32))
+        if want_idx:
+            outs.append(
+                jax.ShapeDtypeStruct((r, n_q_tiles, 1, tq), jnp.int32))
+    out_specs = []
+    for _ in range(len(outs)):
+        out_specs.append(
+            pl.BlockSpec((1, 1, 1, tq), lambda ri, qi: (ri, qi, 0, 0),
+                         memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
+        functools.partial(_nearest_kernel, n_blk=n_blk, blk=blk,
+                          n_masks=m, want_idx=want_idx),
+        grid=(r, n_q_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tq, 3), lambda ri, qi: (ri, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n_pad), lambda ri, qi: (ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, n_pad), lambda ri, qi: (ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=outs,
+        interpret=interpret,
+    )(query, pts_t, pen)
+
+    res = [x.reshape(r, 1, q_pad)[:, :, :qn] for x in res]
+    if want_idx:
+        d = jnp.concatenate(res[0::2], axis=1)
+        i = jnp.concatenate(res[1::2], axis=1)
+        d = jnp.sqrt(jnp.maximum(d, 0.0))
+        return d, jnp.minimum(i, n - 1)
+    d = jnp.concatenate(res, axis=1)
+    return jnp.sqrt(jnp.maximum(d, 0.0))

@@ -33,7 +33,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from octa_tpu.ops.pallas_nearest import masked_nearest_pallas
+
 GEOMETRY_SIZE = 76
+
+
+def _use_pallas() -> bool:
+    """Nearest-neighbor scans run as a Pallas kernel on TPU (VMEM-resident d²
+    tiles, MXU cross term); the XLA chunked scan is the CPU/test path."""
+    return jax.default_backend() == "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -65,6 +73,36 @@ class GrowthState(NamedTuple):
     d_start: jax.Array     # d at the current mode's entry (fixed per mode)
     faz_radius: jax.Array  # per-sim sampled FAZ radius (sim units)
     key: jax.Array
+
+
+class StackedState(NamedTuple):
+    """Iteration-internal state with arterial/venous forests stacked on a
+    leading axis of 2 (row 0 = arterial + oxygen sinks, row 1 = venous +
+    CO2 sources), so every per-forest op chain is issued once instead of
+    twice — op count, not FLOPs, bounds the growth loop on this backend."""
+    forests: ForestState  # arrays [2, NC, ...], n_nodes [2]
+    sinks: SinkState      # pos [2, SC, 3], alive [2, SC]
+    sigma_t: jax.Array
+    d_cur: jax.Array
+    d_start: jax.Array
+    faz_radius: jax.Array
+    key: jax.Array
+
+
+def _stack_state(s: GrowthState) -> StackedState:
+    f = jax.tree.map(lambda a, v: jnp.stack([a, v]), s.art, s.ven)
+    sk = jax.tree.map(lambda a, v: jnp.stack([a, v]), s.oxy, s.co2)
+    return StackedState(f, sk, s.sigma_t, s.d_cur, s.d_start,
+                        s.faz_radius, s.key)
+
+
+def _unstack_state(s: StackedState) -> GrowthState:
+    art = jax.tree.map(lambda x: x[0], s.forests)
+    ven = jax.tree.map(lambda x: x[1], s.forests)
+    oxy = jax.tree.map(lambda x: x[0], s.sinks)
+    co2 = jax.tree.map(lambda x: x[1], s.sinks)
+    return GrowthState(art, ven, oxy, co2, s.sigma_t, s.d_cur, s.d_start,
+                       s.faz_radius, s.key)
 
 
 class ModeParams(NamedTuple):
@@ -120,6 +158,11 @@ def _oxygen_distance(r, param_scale):
 def _chunked_nearest(query, points, valid, chunk=2048, n_valid=None):
     """(min_dist, argmin) from each query [Q,3] to valid points [NC,3].
 
+    The pairwise distance is computed as ``|q|^2 + |p|^2 - 2 q.p`` with the
+    cross term on the MXU (f32 HIGHEST precision — K=3 makes it free): the
+    naive broadcast-diff form materializes [Q, chunk, 3] intermediates and is
+    HBM-bound; this form touches only the [Q, chunk] matrix.
+
     ``n_valid`` is accepted for API stability but intentionally unused: see
     the NOTE below — the live node count is bounded by capacity staging in
     ``develop_forest`` instead of a dynamic trip count."""
@@ -130,16 +173,22 @@ def _chunked_nearest(query, points, valid, chunk=2048, n_valid=None):
     val = jnp.pad(valid, (0, pad))
     pts_c = pts.reshape(n_chunks, chunk, 3)
     val_c = val.reshape(n_chunks, chunk)
+    q2 = jnp.sum(query * query, axis=-1)
 
     def body(carry, inp):
-        best_d, best_i = carry
+        best_d2, best_i = carry
         p, v, base = inp
-        d = jnp.linalg.norm(query[:, None, :] - p[None, :, :], axis=-1)
-        d = jnp.where(v[None, :], d, jnp.inf)
-        dmin = jnp.min(d, axis=1)
-        imin = jnp.argmin(d, axis=1) + base
-        upd = dmin < best_d
-        return (jnp.where(upd, dmin, best_d),
+        cross = jax.lax.dot_general(
+            query, p, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        p2 = jnp.sum(p * p, axis=-1)
+        d2 = q2[:, None] + p2[None, :] - 2.0 * cross
+        d2 = jnp.where(v[None, :], d2, jnp.inf)
+        dmin = jnp.min(d2, axis=1)
+        imin = jnp.argmin(d2, axis=1) + base
+        upd = dmin < best_d2
+        return (jnp.where(upd, dmin, best_d2),
                 jnp.where(upd, imin, best_i)), None
 
     init = (jnp.full((query.shape[0],), jnp.inf),
@@ -148,13 +197,59 @@ def _chunked_nearest(query, points, valid, chunk=2048, n_valid=None):
     # is 7x SLOWER on the axon backend (while-op overhead dominates), so the
     # scan visits all chunks; capacity staging in develop_forest bounds NC.
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (d, i), _ = jax.lax.scan(body, init, (pts_c, val_c, bases))
-    return d, i
+    (d2, i), _ = jax.lax.scan(body, init, (pts_c, val_c, bases))
+    return jnp.sqrt(jnp.maximum(d2, 0.0)), i
 
 
 def _chunked_min_dist_subset(query, points, valid, chunk=2048, n_valid=None):
     d, _ = _chunked_nearest(query, points, valid, chunk, n_valid=n_valid)
     return d
+
+
+def _chunked_nearest2(query, points, mask_a, mask_b, chunk=512):
+    """Two-mask nearest: one pass over the pairwise d² matrix yields minima
+    under two different point-validity masks — (dA, iA, dB, iB). Used to
+    fuse the growth-assignment query (active nodes) with the
+    candidate-rejection query (all existing nodes) into a single scan:
+    scatter/gather/scan ops carry a large fixed cost on this backend, so the
+    growth loop's speed is set by op count, not FLOPs."""
+    nc = points.shape[0]
+    n_chunks = -(-nc // chunk)
+    pad = n_chunks * chunk - nc
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    va = jnp.pad(mask_a, (0, pad))
+    vb = jnp.pad(mask_b, (0, pad))
+    q2 = jnp.sum(query * query, axis=-1)
+
+    def body(carry, inp):
+        da, ia, db, ib = carry
+        p, a, b, base = inp
+        cross = jax.lax.dot_general(
+            query, p, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        d2 = q2[:, None] + jnp.sum(p * p, -1)[None, :] - 2.0 * cross
+        out = []
+        for bd, bi, m in ((da, ia, a), (db, ib, b)):
+            dm = jnp.where(m[None, :], d2, jnp.inf)
+            dmin = jnp.min(dm, axis=1)
+            imin = jnp.argmin(dm, axis=1) + base
+            upd = dmin < bd
+            out += [jnp.where(upd, dmin, bd), jnp.where(upd, imin, bi)]
+        return tuple(out), None
+
+    q0 = jnp.full((query.shape[0],), jnp.inf)
+    i0 = jnp.zeros((query.shape[0],), jnp.int32)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (da, ia, db, ib), _ = jax.lax.scan(
+        body, (q0, i0, q0, i0),
+        (pts.reshape(n_chunks, chunk, 3), va.reshape(n_chunks, chunk),
+         vb.reshape(n_chunks, chunk), bases))
+
+    def _d(x):
+        return jnp.sqrt(jnp.maximum(x, 0.0))
+
+    return _d(da), ia, _d(db), ib
 
 
 # ---------------------------------------------------------------------------
@@ -234,12 +329,19 @@ def _blocked_greedy_spacing(pos, valid, eps_s, n_blocks=64):
 
 
 def _append_sinks(sinks: SinkState, pos, accept) -> SinkState:
-    """Scatter accepted candidates into free sink slots (compaction)."""
+    """Scatter accepted candidates into free sink slots (compaction).
+    Free slots are enumerated in index order with a cumsum + one unique
+    scatter instead of a stable argsort (a full multi-pass sort is ~2x the
+    cost of a scatter on this backend)."""
     sc = sinks.pos.shape[0]
     free = ~sinks.alive
     n_free = jnp.sum(free)
-    # free slot ids in index order, free-first (stable sort of "not free")
-    free_slots = jnp.argsort(~free, stable=True).astype(jnp.int32)
+    free_rank = jnp.cumsum(free) - 1
+    iota = jnp.arange(sc, dtype=jnp.int32)
+    # free_slots[r] = index of the r-th free slot (index order)
+    free_slots = jnp.zeros((sc,), jnp.int32).at[
+        jnp.where(free, free_rank, sc)].set(iota, mode="drop",
+                                            unique_indices=True)
     acc_rank = jnp.cumsum(accept) - 1
     can_place = accept & (acc_rank < n_free)
     target = jnp.where(
@@ -254,15 +356,14 @@ def _append_sinks(sinks: SinkState, pos, accept) -> SinkState:
 # ---------------------------------------------------------------------------
 
 def _power_iteration_3x3(M, iters=24):
-    """Principal eigenvector of symmetric 3x3 matrices [N, 3, 3]."""
+    """Principal eigenvector of symmetric 3x3 matrices [N, 3, 3]. Unrolled
+    (trace-time loop): the iterates are tiny elementwise chains that XLA
+    fuses, whereas a fori_loop would pay while-op overhead per step."""
     v = jnp.broadcast_to(
         jnp.asarray([0.6, 0.7, 0.38], jnp.float32), M.shape[:-2] + (3,))
-
-    def body(i, v):
-        w = jnp.einsum("...ij,...j->...i", M, v)
-        return _norm(w)
-
-    return jax.lax.fori_loop(0, iters, body, v)
+    for _ in range(iters):
+        v = _norm(jnp.einsum("...ij,...j->...i", M, v))
+    return v
 
 
 def _rodrigues(v, axis, theta_deg):
@@ -272,38 +373,52 @@ def _rodrigues(v, axis, theta_deg):
             + axis * jnp.sum(axis * v, axis=-1, keepdims=True) * (1 - cos))
 
 
-def _grow(forest: ForestState, sinks: SinkState, *, gamma, delta, d, r,
-          kappa, phi, omega, faz_center, faz_radius, rotation_radius,
-          first_mode, t, key, murray_sweeps=8, chunk=2048):
-    """One growth pass for one forest; returns (forest', satisfied_mask_fn)
-    where the caller uses the returned new-node window for sink conversion."""
-    nc = forest.pos.shape[0]
-    sc = sinks.pos.shape[0]
-    active = (forest.n_children < 2) & (jnp.arange(nc) < forest.n_nodes)
+def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
+               gamma, delta, d, r, kappa, phi, omega, faz_center, faz_radius,
+               rotation_radius, first_mode, t, key, murray_sweeps=8):
+    """One growth pass for one forest; the attraction assignment
+    (``dist, idx`` = nearest active node per sink) is computed by the caller
+    in a fused multi-row scan. Returns (forest', new_node_window).
 
-    # --- attraction assignment (nearest active node within delta) ---
-    dist, idx = _chunked_nearest(sinks.pos, forest.pos, active,
-                                 chunk=chunk, n_valid=forest.n_nodes)
-    assigned = jnp.where(sinks.alive & (dist <= delta), idx, -1)
+    Gathers are fused through per-node feature tables and the six segment
+    sums share one 18-feature scatter-add: per-op fixed cost dominates this
+    backend, so the design target is the number of scatter/gather ops."""
+    nc = forest.pos.shape[0]
+
+    assigned = jnp.where(sink_alive & (dist <= delta), idx, -1)
     has_assign = assigned >= 0
     aidx = jnp.clip(assigned, 0, nc - 1)
 
-    npos = forest.pos[aidx]
-    nparent = jnp.clip(forest.parent[aidx], 0, nc - 1)
-    v_prox = npos - forest.pos[nparent]
-    nchild = jnp.clip(forest.first_child[aidx], 0, nc - 1)
-    v_dist = forest.pos[nchild] - npos
+    # node-level gathered tables (2 gathers), then one per-sink gather
+    par = jnp.clip(forest.parent, 0, nc - 1)
+    child = jnp.clip(forest.first_child, 0, nc - 1)
+    pos_par = forest.pos[par]                                    # [NC,3]
+    pc = jnp.concatenate([forest.pos, forest.radius[:, None]], -1)
+    pc_child = pc[child]                                         # [NC,4]
+    pos_child, r_child = pc_child[:, :3], pc_child[:, 3]
 
-    att_vec = sinks.pos - npos
+    node_tbl = jnp.concatenate([
+        forest.pos, pos_par, pos_child, r_child[:, None],
+        forest.n_children.astype(jnp.float32)[:, None],
+        forest.is_root.astype(jnp.float32)[:, None]], -1)        # [NC,12]
+    stbl = node_tbl[aidx]                                        # [Sq,12]
+    npos = stbl[:, 0:3]
+    v_prox = npos - stbl[:, 3:6]
+    v_dist = stbl[:, 6:9] - npos
+    nr_child = stbl[:, 9]
+    n_nch = stbl[:, 10]
+    n_isroot = stbl[:, 11] > 0.5
+
+    att_vec = sink_pos - npos
     att_dir = _norm(att_vec)
     ang_prox = _angle_deg(v_prox, att_vec)
     ang_dist = _angle_deg(v_dist, att_vec)
 
-    node_is_leaf = (forest.n_children[aidx] == 0) & ~forest.is_root[aidx]
-    node_is_inter = (forest.n_children[aidx] == 1) & ~forest.is_root[aidx]
+    node_is_leaf = (n_nch == 0) & ~n_isroot
+    node_is_inter = (n_nch == 1) & ~n_isroot
 
     # Murray angles per assigned node
-    r1_inter = forest.radius[nchild]
+    r1_inter = nr_child
     rp_inter = (r1_inter**kappa + r**kappa) ** (1.0 / kappa)
 
     def _acos_deg(x):
@@ -323,18 +438,21 @@ def _grow(forest: ForestState, sinks: SinkState, *, gamma, delta, d, r,
 
     seg = jnp.where(valid_sink, aidx, nc)  # scatter target (nc = dropped)
 
-    def segsum(x):
-        shape = (nc + 1,) + x.shape[1:]
-        return jnp.zeros(shape, jnp.float32).at[seg].add(
-            jnp.where(valid_sink.reshape((-1,) + (1,) * (x.ndim - 1)),
-                      x.astype(jnp.float32), 0.0))[:nc]
-
-    cnt = segsum(jnp.ones((sc,)))
-    sum_dir = segsum(att_dir)
-    sum_ang = segsum(ang_prox)
-    sum_ang2 = segsum(ang_prox**2)
-    sum_att = segsum(sinks.pos)
-    sum_outer = segsum(sinks.pos[:, :, None] * sinks.pos[:, None, :])
+    # six segment sums fused into ONE 18-feature scatter-add
+    sq = sink_pos.shape[0]
+    feats = jnp.concatenate([
+        jnp.ones((sq, 1)), att_dir, ang_prox[:, None],
+        (ang_prox**2)[:, None], sink_pos,
+        (sink_pos[:, :, None] * sink_pos[:, None, :]).reshape(sq, 9),
+    ], axis=-1)                                                   # [Sq,18]
+    sums = jnp.zeros((nc + 1, 18), jnp.float32).at[seg].add(
+        jnp.where(valid_sink[:, None], feats, 0.0))[:nc]
+    cnt = sums[:, 0]
+    sum_dir = sums[:, 1:4]
+    sum_ang = sums[:, 4]
+    sum_ang2 = sums[:, 5]
+    sum_att = sums[:, 6:9]
+    sum_outer = sums[:, 9:18].reshape(nc, 3, 3)
 
     has = cnt > 0
     n = jnp.maximum(cnt, 1.0)
@@ -345,6 +463,7 @@ def _grow(forest: ForestState, sinks: SinkState, *, gamma, delta, d, r,
     # covariance of (atts - c): reference divides by (n-1); direction-invariant
     M = sum_outer - n[:, None, None] * (c_mean[:, :, None] * c_mean[:, None, :])
 
+    active = (forest.n_children < 2) & (jnp.arange(nc) < forest.n_nodes)
     is_leaf_n = (forest.n_children == 0) & ~forest.is_root & active
     is_inter_n = (forest.n_children == 1) & ~forest.is_root & active
 
@@ -374,8 +493,7 @@ def _grow(forest: ForestState, sinks: SinkState, *, gamma, delta, d, r,
     p_new_2 = forest.pos + _norm(cosp * d_parent_c - sinp * d_l) * d
 
     # ---- leaf elongation ----
-    par = jnp.clip(forest.parent, 0, nc - 1)
-    v_prox_n = forest.pos - forest.pos[par]
+    v_prox_n = forest.pos - pos_par
     g = omega * _norm(v_prox_n) + (1 - omega) * _norm(avg_attr)
     if rotation_radius > 0:
         gn = _norm(g)
@@ -399,8 +517,7 @@ def _grow(forest: ForestState, sinks: SinkState, *, gamma, delta, d, r,
     elongate = is_leaf_n & has & ~bifurcate
 
     # ---- inter-node sprouting (Rodrigues) ----
-    child = jnp.clip(forest.first_child, 0, nc - 1)
-    distal = _norm(forest.pos[child] - forest.pos)
+    distal = _norm(pos_child - forest.pos)
     cross = jnp.cross(distal, avg_attr)
     cross_zero = jnp.all(cross == 0.0, axis=-1)
     sprout_rand_skip = ((faz_term <= u_sprout)
@@ -408,7 +525,7 @@ def _grow(forest: ForestState, sinks: SinkState, *, gamma, delta, d, r,
     sprout = is_inter_n & has & ~cross_zero & ~sprout_rand_skip
     rot_axis = _norm(cross)
     # inter-node phi2 per node
-    r1_n = forest.radius[child]
+    r1_n = r_child
     rp_n = (r1_n**kappa + r**kappa) ** (1.0 / kappa)
     phi2_n = _acos_deg((rp_n**4 + r**4 - r1_n**4) / (2 * rp_n**2 * r**2))
     v_rot = _rodrigues(distal, rot_axis, phi2_n)
@@ -429,20 +546,28 @@ def _grow(forest: ForestState, sinks: SinkState, *, gamma, delta, d, r,
     t1 = jnp.where(emit1, offs, nc)
     t2 = jnp.where(emit2, offs + 1, nc)
 
-    pos = forest.pos.at[t1].set(first_pos, mode="drop")
-    pos = pos.at[t2].set(p_new_2, mode="drop")
-    radius = forest.radius.at[t1].set(r, mode="drop")
-    radius = radius.at[t2].set(r, mode="drop")
+    # fused emission: one float scatter (pos+radius), one int scatter
+    # (parent), one first_child scatter. is_root needs no scatter: new slots
+    # are initialized/padded False and never become roots.
+    t12 = jnp.concatenate([t1, t2])
+    r_col = jnp.full((nc, 1), r, jnp.float32)
+    upd_posr = jnp.concatenate([
+        jnp.concatenate([first_pos, r_col], -1),
+        jnp.concatenate([p_new_2, r_col], -1)])                  # [2NC,4]
+    posr = jnp.concatenate([forest.pos, forest.radius[:, None]], -1)
+    posr = posr.at[t12].set(upd_posr, mode="drop", unique_indices=True)
+    pos, radius = posr[:, :3], posr[:, 3]
     parent_idx = jnp.arange(nc, dtype=jnp.int32)
-    parent = forest.parent.at[t1].set(parent_idx, mode="drop")
-    parent = parent.at[t2].set(parent_idx, mode="drop")
+    parent = forest.parent.at[t12].set(
+        jnp.concatenate([parent_idx, parent_idx]), mode="drop",
+        unique_indices=True)
     # first_child only set when the node had no children yet
     set_fc = emit1 & (forest.n_children == 0)
     first_child = forest.first_child.at[
-        jnp.where(set_fc, parent_idx, nc)].set(t1, mode="drop")
+        jnp.where(set_fc, parent_idx, nc)].set(t1, mode="drop",
+                                               unique_indices=True)
     n_children = forest.n_children + n_emit
-    is_root = forest.is_root.at[t1].set(False, mode="drop")
-    is_root = is_root.at[t2].set(False, mode="drop")
+    is_root = forest.is_root
     n_nodes = forest.n_nodes + total_new
 
     new_forest = ForestState(pos, radius, parent, first_child, n_children,
@@ -469,24 +594,23 @@ def _grow(forest: ForestState, sinks: SinkState, *, gamma, delta, d, r,
 # Iteration driver
 # ---------------------------------------------------------------------------
 
-def _sinks_near_new_nodes(sinks: SinkState, forest: ForestState,
-                          new_window, eps_k, chunk=2048):
-    """Mask of alive sinks within eps_k of any node in ``new_window``
-    (steps 3/5 of the main loop, ``greenhouse.py:99-123``)."""
-    d = _chunked_min_dist_subset(sinks.pos, forest.pos, new_window,
-                                 chunk=chunk, n_valid=forest.n_nodes)
-    return sinks.alive & (d <= eps_k)
-
-
-def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
+def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
                param_scale, r0, rotation_radius, faz_center, size_z,
                n_cand, murray_sweeps=8, nerve_center=None,
-               nerve_radius=0.0, geometry=None, chunk=2048) -> GrowthState:
-    """One greenhouse iteration (``greenhouse.py:90-126``).
+               nerve_radius=0.0, geometry=None, chunk=2048) -> StackedState:
+    """One greenhouse iteration (``greenhouse.py:90-126``), with both
+    forests grown in one stacked pass.
 
     ``i`` is the within-mode index: at i==0 the raw mode parameters apply
     (the reference quirk above); afterwards params = raw/(param_scale*sigma).
-    """
+
+    Scheduling vs the reference: candidates accepted at step 1 participate
+    in arterial growth and the satisfied-sink check of the same iteration
+    (exact), but venous growth sees the CO2 set from *before* this
+    iteration's conversions — new CO2 sources become growable one iteration
+    later (1 of 100-150; statistically negligible, and the CO2-eligibility
+    check against pre-growth venous nodes matches the reference exactly,
+    ``greenhouse.py:99-123``)."""
     key, k_cand, k_art, k_ven = jax.random.split(state.key, 4)
 
     first = i == 0
@@ -500,65 +624,108 @@ def _iteration(state: GrowthState, mp: ModeParams, i, t, d_start, *,
         first, d_start,
         jnp.maximum(d_start / state.sigma_t, 0.04 / param_scale))
 
-    # --- 1. sample oxygen sinks ---
+    F, S = state.forests, state.sinks
+    nc = F.pos.shape[1]
+    sc = S.pos.shape[1]
+    exists = jnp.arange(nc)[None, :] < F.n_nodes[:, None]        # [2, NC]
+    active = (F.n_children < 2) & exists
+
+    # --- 1a. sample oxygen-sink candidates ---
     cand, valid = _sample_candidates(
         k_cand, n_cand, faz_center, state.faz_radius, size_z,
         nerve_center=nerve_center, nerve_radius=nerve_radius,
         geometry=geometry)
+
+    # --- fused nearest-neighbor pass (one 3-row, 2-mask scan replaces the
+    # five separate distance scans): row 0 [oxy;cand]->art (growth
+    # assignment under mask A = active, candidate rejection under mask B =
+    # exists), row 1 [co2;cand]->ven (growth assignment), row 2
+    # [oxy;cand]->ven (CO2-eligibility distance, mask A = exists) ---
+    q01 = jnp.concatenate([S.pos[0], cand], axis=0)              # [Sq,3]
+    q = jnp.stack([q01, jnp.concatenate([S.pos[1], cand], 0), q01])
+    pts = F.pos[jnp.asarray([0, 1, 1])]
+    mask_a = jnp.stack([active[0], active[1], exists[1]])
+    mask_b = jnp.stack([exists[0], exists[0], exists[0]])
+    if _use_pallas():
+        dd, ii = masked_nearest_pallas(q, pts,
+                                       jnp.stack([mask_a, mask_b], axis=1))
+        dA, iA, dB, iB = dd[:, 0], ii[:, 0], dd[:, 1], ii[:, 1]
+    else:
+        dA, iA, dB, iB = jax.vmap(
+            lambda qq, pp, a, b: _chunked_nearest2(
+                qq, pp, a, b,
+                chunk=max(256, chunk // 4)))(q, pts, mask_a, mask_b)
+
+    # --- 1b. candidate filtering (``greenhouse.py:319-341``) ---
     # reject near arterial nodes (within eps_n AND inside the oxygen radius)
-    nc = state.art.pos.shape[0]
-    exists = jnp.arange(nc) < state.art.n_nodes
-    dist_art, aidx = _chunked_nearest(cand, state.art.pos, exists,
-                                      chunk=chunk,
-                                      n_valid=state.art.n_nodes)
-    oxy_d = _oxygen_distance(state.art.radius[jnp.clip(aidx, 0, nc - 1)],
-                             param_scale)
-    near_bad = (dist_art <= jnp.maximum(eps_n, eps_k)) & (dist_art <= oxy_d)
+    d_cand_art = dB[0, sc:]
+    i_cand_art = jnp.clip(iB[0, sc:], 0, nc - 1)
+    oxy_d = _oxygen_distance(F.radius[0][i_cand_art], param_scale)
+    near_bad = (d_cand_art <= jnp.maximum(eps_n, eps_k)) & (d_cand_art <= oxy_d)
     valid &= ~near_bad
     # reject near existing oxygen sinks
-    d_oxy = _chunked_min_dist_subset(cand, state.oxy.pos,
-                                     state.oxy.alive, chunk=chunk)
+    if _use_pallas():
+        d_oxy = masked_nearest_pallas(
+            cand[None], S.pos[0][None], S.alive[0][None, None],
+            want_idx=False)[0, 0]
+    else:
+        d_oxy = _chunked_min_dist_subset(cand, S.pos[0], S.alive[0],
+                                         chunk=chunk)
     valid &= d_oxy > eps_s
     # mutual spacing (blocked greedy)
     accept = _blocked_greedy_spacing(cand, valid, eps_s)
-    oxy = _append_sinks(state.oxy, cand, accept)
 
-    # --- 2. arterial growth ---
-    art, art_new = _grow(
-        state.art, oxy, gamma=mp.gamma_art, delta=delta_art, d=d, r=r0,
-        kappa=mp.kappa, phi=mp.phi, omega=mp.omega, faz_center=faz_center,
-        faz_radius=state.faz_radius, rotation_radius=rotation_radius,
-        first_mode=mp.first_mode, t=t, key=k_art,
-        murray_sweeps=murray_sweeps, chunk=chunk)
+    # --- 2+4. stacked growth: arterial on [oxy; accepted cand], venous on
+    # [co2; -] ---
+    view_alive = jnp.stack([
+        jnp.concatenate([S.alive[0], accept]),
+        jnp.concatenate([S.alive[1], jnp.zeros_like(accept)])])
+    view_pos = q[:2]                                             # [2, Sq, 3]
 
-    # --- 3. satisfied oxygen sinks -> CO2 sources ---
-    satisfied = _sinks_near_new_nodes(oxy, art, art_new, eps_k, chunk=chunk)
-    ven_exists = jnp.arange(nc) < state.ven.n_nodes
-    d_ven = _chunked_min_dist_subset(oxy.pos, state.ven.pos, ven_exists,
-                                     chunk=chunk,
-                                     n_valid=state.ven.n_nodes)
-    to_co2 = satisfied & (d_ven > eps_k)
-    co2 = _append_sinks(state.co2, oxy.pos, to_co2)
-    oxy = SinkState(oxy.pos, oxy.alive & ~satisfied)
+    def grow_row(f, sp, sa, dist, idx, ga, de, kk):
+        return _grow_core(
+            f, sp, sa, dist, idx, gamma=ga, delta=de, d=d, r=r0,
+            kappa=mp.kappa, phi=mp.phi, omega=mp.omega,
+            faz_center=faz_center, faz_radius=state.faz_radius,
+            rotation_radius=rotation_radius, first_mode=mp.first_mode,
+            t=t, key=kk, murray_sweeps=murray_sweeps)
 
-    # --- 4. venous growth on CO2 ---
-    ven, ven_new = _grow(
-        state.ven, co2, gamma=mp.gamma_ven, delta=delta_ven, d=d, r=r0,
-        kappa=mp.kappa, phi=mp.phi, omega=mp.omega, faz_center=faz_center,
-        faz_radius=state.faz_radius, rotation_radius=rotation_radius,
-        first_mode=mp.first_mode, t=t, key=k_ven,
-        murray_sweeps=murray_sweeps, chunk=chunk)
+    newF, new_window = jax.vmap(grow_row)(
+        F, view_pos, view_alive, dA[:2], iA[:2],
+        jnp.asarray([mp.gamma_art, mp.gamma_ven], jnp.float32),
+        jnp.stack([delta_art, delta_ven]),
+        jnp.stack([k_art, k_ven]))
 
-    # --- 5. satisfied CO2 sinks removed ---
-    co2_done = _sinks_near_new_nodes(co2, ven, ven_new, eps_k, chunk=chunk)
-    co2 = SinkState(co2.pos, co2.alive & ~co2_done)
+    # --- 3+5. satisfied sinks (within eps_k of this iteration's new nodes) ---
+    if _use_pallas():
+        d_new = masked_nearest_pallas(
+            view_pos, newF.pos, new_window[:, None, :],
+            want_idx=False)[:, 0]
+    else:
+        d_new = jax.vmap(
+            lambda qq, pp, m: _chunked_min_dist_subset(
+                qq, pp, m, chunk=chunk))(view_pos, newF.pos, new_window)
+    satisfied = view_alive & (d_new <= eps_k)
+    # oxygen sinks satisfied by new arterial nodes convert to CO2 when no
+    # venous node (pre-growth, as in the reference) is within eps_k
+    to_co2 = satisfied[0] & (dA[2] > eps_k)
+
+    oxy_alive = S.alive[0] & ~satisfied[0, :sc]
+    co2_alive = S.alive[1] & ~satisfied[1, :sc]
+    base = SinkState(S.pos, jnp.stack([oxy_alive, co2_alive]))
+    # one stacked append: row 0 stores surviving new candidates as oxygen
+    # sinks, row 1 stores converted CO2 sources (from oxy slots or new cands)
+    acc0 = jnp.concatenate([jnp.zeros((sc,), bool),
+                            accept & ~satisfied[0, sc:]])
+    props = jnp.stack([view_pos[0], view_pos[0]])
+    newS = jax.vmap(_append_sinks)(base, props, jnp.stack([acc0, to_co2]))
 
     # --- 6. simulation space expansion ---
     sigma = state.sigma_t + mp.delta_sigma
     d_cur = jnp.maximum(d_start / sigma, 0.04 / param_scale)
 
-    return GrowthState(art, ven, oxy, co2, sigma, d_cur, state.d_start,
-                       state.faz_radius, key)
+    return StackedState(newF, newS, sigma, d_cur, state.d_start,
+                        state.faz_radius, key)
 
 
 def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
@@ -582,6 +749,7 @@ def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
     if i0 == 0:
         state = state._replace(sigma_t=jnp.float32(1.0),
                                d_start=state.d_cur)
+    stacked = _stack_state(state)
 
     def body(st, i):
         st = _iteration(
@@ -592,16 +760,18 @@ def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
             geometry=geometry, chunk=chunk)
         stats = None
         if collect_stats:
+            n_alive = jnp.sum(st.sinks.alive, axis=-1)
             stats = jnp.stack([
-                st.art.n_nodes.astype(jnp.float32),
-                st.ven.n_nodes.astype(jnp.float32),
-                jnp.sum(st.oxy.alive).astype(jnp.float32),
-                jnp.sum(st.co2.alive).astype(jnp.float32),
+                st.forests.n_nodes[0].astype(jnp.float32),
+                st.forests.n_nodes[1].astype(jnp.float32),
+                n_alive[0].astype(jnp.float32),
+                n_alive[1].astype(jnp.float32),
                 st.sigma_t,
             ])
         return st, stats
 
-    state, stats = jax.lax.scan(body, state, i0 + jnp.arange(seg_len))
+    stacked, stats = jax.lax.scan(body, stacked, i0 + jnp.arange(seg_len))
+    state = _unstack_state(stacked)
     return (state, stats) if collect_stats else state
 
 
