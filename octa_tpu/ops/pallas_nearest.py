@@ -6,7 +6,8 @@ This is the hot op of the vessel-growth engine (the reference uses a
 chunked scan in :mod:`octa_tpu.sim.greenhouse`). The XLA form materializes the
 [Q, chunk] pairwise-d² matrix to HBM and — with two validity masks — reads it
 back once per masked reduction, which makes the growth loop HBM-bound. The
-kernel keeps each d² tile in VMEM, computes the cross term on the MXU, and
+kernel keeps each d² tile in VMEM, computes the cross term as three VPU
+outer-product FMAs (a K=3 matmul would be padded to K=128 on the MXU), and
 carries the running (min, argmin) of every mask across point blocks, so HBM
 traffic collapses to the inputs and the [Q]-sized outputs.
 
@@ -44,12 +45,18 @@ def _nearest_kernel(q_ref, pt_ref, pen_ref, *out_refs, n_blk: int,
     q2 = jnp.sum(q * q, axis=-1)                  # [TQ]
     tq = q.shape[0]
 
+    qa = [q[:, a] for a in range(3)]
+
     def body(j, carry):
-        pt = pt_ref[0, :, pl.ds(j * blk, blk)]    # [3, blk]
-        cross = jax.lax.dot_general(
-            q, pt, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)   # [TQ, blk]
+        # Cross term as 3 VPU outer-product FMAs, NOT a dot_general: Mosaic
+        # pads a K=3 matmul to K=128 on the MXU (43x wasted work) — measured
+        # 161 ms vs 59 ms per growth-shaped call ([32,3,10240]x16384).
+        p0 = pt_ref[0, 0, pl.ds(j * blk, blk)]
+        p1 = pt_ref[0, 1, pl.ds(j * blk, blk)]
+        p2 = pt_ref[0, 2, pl.ds(j * blk, blk)]
+        cross = (qa[0][:, None] * p0[None, :]
+                 + qa[1][:, None] * p1[None, :]
+                 + qa[2][:, None] * p2[None, :])  # [TQ, blk]
         base = q2[:, None] - 2.0 * cross
         new = []
         for m in range(n_masks):

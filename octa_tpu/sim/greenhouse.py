@@ -53,6 +53,7 @@ class ForestState(NamedTuple):
     radius: jax.Array       # [NC]
     parent: jax.Array       # [NC] int32, -1 for roots/empty
     first_child: jax.Array  # [NC] int32, -1 if none
+    child2: jax.Array       # [NC] int32 second child, -1 if none
     n_children: jax.Array   # [NC] int32
     is_root: jax.Array      # [NC] bool
     n_nodes: jax.Array      # scalar int32
@@ -73,6 +74,7 @@ class GrowthState(NamedTuple):
     d_start: jax.Array     # d at the current mode's entry (fixed per mode)
     faz_radius: jax.Array  # per-sim sampled FAZ radius (sim units)
     key: jax.Array
+    sat: jax.Array         # bool: an iteration hit the emission-window cap
 
 
 class StackedState(NamedTuple):
@@ -87,13 +89,14 @@ class StackedState(NamedTuple):
     d_start: jax.Array
     faz_radius: jax.Array
     key: jax.Array
+    sat: jax.Array
 
 
 def _stack_state(s: GrowthState) -> StackedState:
     f = jax.tree.map(lambda a, v: jnp.stack([a, v]), s.art, s.ven)
     sk = jax.tree.map(lambda a, v: jnp.stack([a, v]), s.oxy, s.co2)
     return StackedState(f, sk, s.sigma_t, s.d_cur, s.d_start,
-                        s.faz_radius, s.key)
+                        s.faz_radius, s.key, s.sat)
 
 
 def _unstack_state(s: StackedState) -> GrowthState:
@@ -102,7 +105,7 @@ def _unstack_state(s: StackedState) -> GrowthState:
     oxy = jax.tree.map(lambda x: x[0], s.sinks)
     co2 = jax.tree.map(lambda x: x[1], s.sinks)
     return GrowthState(art, ven, oxy, co2, s.sigma_t, s.d_cur, s.d_start,
-                       s.faz_radius, s.key)
+                       s.faz_radius, s.key, s.sat)
 
 
 class ModeParams(NamedTuple):
@@ -328,27 +331,40 @@ def _blocked_greedy_spacing(pos, valid, eps_s, n_blocks=64):
     return acc_mask[:n]
 
 
-def _append_sinks(sinks: SinkState, pos, accept) -> SinkState:
-    """Scatter accepted candidates into free sink slots (compaction).
-    Free slots are enumerated in index order with a cumsum + one unique
-    scatter instead of a stable argsort (a full multi-pass sort is ~2x the
-    cost of a scatter on this backend)."""
+def _append_sinks(sinks: SinkState, pos, accept, max_append=2048):
+    """Place accepted candidates into free sink slots (both in index order).
+
+    XLA scatter/gather cost on this backend is ~dozens of ns *per index*, so
+    the budget is index count: compact the (few) accepted candidates and the
+    free slots they go to with two ``compare_all`` prefix-sum inversions
+    (branchless [K, n] compare+sum — no serial scan), then scatter only
+    ``max_append`` rows. Returns (state, sat); ``sat`` trips the caller's
+    segment-redo staging when an iteration accepts more than the window.
+    """
     sc = sinks.pos.shape[0]
+    sq = pos.shape[0]
+    k = min(max_append, sq)
+    cum_acc = jnp.cumsum(accept.astype(jnp.int32))        # [Sq]
+    n_acc = cum_acc[-1]
+    r = jnp.arange(k, dtype=jnp.int32)
+    cand_idx = jnp.clip(
+        jnp.searchsorted(cum_acc, r, side="right", method="compare_all"),
+        0, sq - 1)                                        # r-th accept
     free = ~sinks.alive
-    n_free = jnp.sum(free)
-    free_rank = jnp.cumsum(free) - 1
-    iota = jnp.arange(sc, dtype=jnp.int32)
-    # free_slots[r] = index of the r-th free slot (index order)
-    free_slots = jnp.zeros((sc,), jnp.int32).at[
-        jnp.where(free, free_rank, sc)].set(iota, mode="drop",
-                                            unique_indices=True)
-    acc_rank = jnp.cumsum(accept) - 1
-    can_place = accept & (acc_rank < n_free)
-    target = jnp.where(
-        can_place, free_slots[jnp.clip(acc_rank, 0, sc - 1)], sc)
-    new_pos = sinks.pos.at[target].set(pos, mode="drop")
-    new_alive = sinks.alive.at[target].set(True, mode="drop")
-    return SinkState(new_pos, new_alive)
+    cum_free = jnp.cumsum(free.astype(jnp.int32))         # [SC]
+    n_free = cum_free[-1]
+    slot_idx = jnp.clip(
+        jnp.searchsorted(cum_free, r, side="right", method="compare_all"),
+        0, sc - 1)                                        # r-th free slot
+    place = (r < n_acc) & (r < n_free)
+    tgt = jnp.where(place, slot_idx, sc)
+    posal = jnp.concatenate(
+        [sinks.pos, sinks.alive[:, None].astype(jnp.float32)], -1)
+    upd = jnp.concatenate(
+        [pos[cand_idx], jnp.ones((k, 1), jnp.float32)], -1)
+    posal = posal.at[tgt].set(upd, mode="drop", unique_indices=True)
+    return (SinkState(posal[:, :3], posal[:, 3] > 0.5),
+            n_acc > k)
 
 
 # ---------------------------------------------------------------------------
@@ -375,7 +391,8 @@ def _rodrigues(v, axis, theta_deg):
 
 def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
                gamma, delta, d, r, kappa, phi, omega, faz_center, faz_radius,
-               rotation_radius, first_mode, t, key, murray_sweeps=8):
+               rotation_radius, first_mode, t, key, murray_sweeps=8,
+               new_cap=1024):
     """One growth pass for one forest; the attraction assignment
     (``dist, idx`` = nearest active node per sink) is computed by the caller
     in a fused multi-row scan. Returns (forest', new_node_window).
@@ -532,48 +549,68 @@ def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
     g_s = omega * _norm(v_rot) + (1 - omega) * _norm(avg_attr)
     p_sprout = forest.pos + d * _norm(g_s)
 
-    # ---- emit new nodes ----
-    n_emit = (2 * bifurcate + 1 * elongate + 1 * sprout).astype(jnp.int32)
-    offs = forest.n_nodes + jnp.cumsum(n_emit) - n_emit
-    fits = (offs + n_emit) <= nc
-    n_emit = jnp.where(fits, n_emit, 0)
-    total_new = jnp.sum(n_emit)
+    # ---- emit new nodes (scatter-free append) ----
+    # New nodes land in the contiguous window [n_nodes, n_nodes+total_new).
+    # Instead of scattering up-to-2NC candidate entries (XLA scatter is
+    # serial per index: the 2M-index emission scatter cost 83 ms/iteration
+    # at 16k capacity), invert the prefix sum: for each window slot j the
+    # source node is searchsorted(cumsum(n_emit), j), every per-slot value
+    # becomes a gather, and one dynamic_update_slice writes the window.
+    new_cap = min(new_cap, nc)
+    n_emit_raw = (2 * bifurcate + 1 * elongate + 1 * sprout).astype(jnp.int32)
+    cum_raw = jnp.cumsum(n_emit_raw)
+    fits = ((forest.n_nodes + cum_raw) <= nc) & (cum_raw <= new_cap)
+    sat = cum_raw[-1] > new_cap  # window overflow -> segment redo, bigger cap
+    n_emit = jnp.where(fits, n_emit_raw, 0)
+    cum = jnp.cumsum(n_emit)
+    offs = forest.n_nodes + cum - n_emit
+    total_new = cum[-1]
 
     first_pos = jnp.where(bifurcate[:, None], p_new_1,
                           jnp.where(elongate[:, None], p_elong, p_sprout))
     emit1 = (n_emit >= 1)
     emit2 = (n_emit >= 2) & bifurcate
-    t1 = jnp.where(emit1, offs, nc)
-    t2 = jnp.where(emit2, offs + 1, nc)
 
-    # fused emission: one float scatter (pos+radius), one int scatter
-    # (parent), one first_child scatter. is_root needs no scatter: new slots
-    # are initialized/padded False and never become roots.
-    t12 = jnp.concatenate([t1, t2])
-    r_col = jnp.full((nc, 1), r, jnp.float32)
-    upd_posr = jnp.concatenate([
-        jnp.concatenate([first_pos, r_col], -1),
-        jnp.concatenate([p_new_2, r_col], -1)])                  # [2NC,4]
-    posr = jnp.concatenate([forest.pos, forest.radius[:, None]], -1)
-    posr = posr.at[t12].set(upd_posr, mode="drop", unique_indices=True)
-    pos, radius = posr[:, :3], posr[:, 3]
-    parent_idx = jnp.arange(nc, dtype=jnp.int32)
-    parent = forest.parent.at[t12].set(
-        jnp.concatenate([parent_idx, parent_idx]), mode="drop",
-        unique_indices=True)
-    # first_child only set when the node had no children yet
+    j = jnp.arange(new_cap, dtype=jnp.int32)
+    src = jnp.clip(
+        jnp.searchsorted(cum, j, side="right", method="compare_all"),
+        0, nc - 1).astype(jnp.int32)
+    valid = j < total_new
+    rank2 = (j - (cum[src] - n_emit[src])) == 1   # second bifurcation child
+    win_pos = jnp.where(rank2[:, None], p_new_2[src], first_pos[src])
+
+    def _append(arr, vals, fill):
+        ext = jnp.concatenate(
+            [arr, jnp.full((new_cap,) + arr.shape[1:], fill, arr.dtype)], 0)
+        old = jax.lax.dynamic_slice_in_dim(ext, forest.n_nodes, new_cap, 0)
+        upd = jnp.where(valid.reshape((-1,) + (1,) * (arr.ndim - 1)),
+                        vals.astype(arr.dtype), old)
+        return jax.lax.dynamic_update_slice_in_dim(
+            ext, upd, forest.n_nodes, 0)[:nc]
+
+    pos = _append(forest.pos, win_pos, 0.0)
+    radius = _append(forest.radius, jnp.full((new_cap,), r, jnp.float32), 0.0)
+    parent = _append(forest.parent, src, -1)
+
+    # child pointers / counts are per-source-node -> pure elementwise
     set_fc = emit1 & (forest.n_children == 0)
-    first_child = forest.first_child.at[
-        jnp.where(set_fc, parent_idx, nc)].set(t1, mode="drop",
-                                               unique_indices=True)
+    first_child = jnp.where(set_fc, offs, forest.first_child)
+    # second child: bifurcation's 2nd node, or a sprout at a 1-child node
+    child2 = jnp.where(emit2, offs + 1,
+                       jnp.where(emit1 & (forest.n_children == 1), offs,
+                                 forest.child2))
     n_children = forest.n_children + n_emit
     is_root = forest.is_root
     n_nodes = forest.n_nodes + total_new
 
-    new_forest = ForestState(pos, radius, parent, first_child, n_children,
-                             is_root, n_nodes)
+    new_forest = ForestState(pos, radius, parent, first_child, child2,
+                             n_children, is_root, n_nodes)
 
     # ---- Murray radius sweeps (optimize_edge_radius_to_root) ----
+    # Scatter-add over the parent pointers. Measured alternatives at 16k
+    # capacity: this costs ~9 ms/sweep; the gather form through
+    # first_child/child2 costs ~26 ms/sweep (TPU gathers are also serial
+    # per index, and it needs 2 gathers per sweep) — scatter wins here.
     def murray(i, f: ForestState):
         exists = jnp.arange(nc) < f.n_nodes
         rk = jnp.where(exists, f.radius**kappa, 0.0)
@@ -587,7 +624,7 @@ def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
     new_forest = jax.lax.fori_loop(0, murray_sweeps, murray, new_forest)
 
     new_window = (jnp.arange(nc) >= forest.n_nodes) & (jnp.arange(nc) < n_nodes)
-    return new_forest, new_window
+    return new_forest, new_window, sat
 
 
 # ---------------------------------------------------------------------------
@@ -597,7 +634,8 @@ def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
 def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
                param_scale, r0, rotation_radius, faz_center, size_z,
                n_cand, murray_sweeps=8, nerve_center=None,
-               nerve_radius=0.0, geometry=None, chunk=2048) -> StackedState:
+               nerve_radius=0.0, geometry=None, chunk=2048,
+               new_cap=1024) -> StackedState:
     """One greenhouse iteration (``greenhouse.py:90-126``), with both
     forests grown in one stacked pass.
 
@@ -636,30 +674,37 @@ def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
         nerve_center=nerve_center, nerve_radius=nerve_radius,
         geometry=geometry)
 
-    # --- fused nearest-neighbor pass (one 3-row, 2-mask scan replaces the
-    # five separate distance scans): row 0 [oxy;cand]->art (growth
-    # assignment under mask A = active, candidate rejection under mask B =
-    # exists), row 1 [co2;cand]->ven (growth assignment), row 2
-    # [oxy;cand]->ven (CO2-eligibility distance, mask A = exists) ---
+    # --- fused nearest-neighbor pass. Two single-mask calls replace the
+    # five separate distance scans of the unstacked form, sized so every
+    # computed (row, query-range) lane is consumed: call 1, rows = (0)
+    # [oxy;cand]->art active (growth assignment), (1) [oxy;cand]->ven
+    # existing (CO2-eligibility distance), (2) [co2;cand]->ven active
+    # (venous assignment); call 2 = candidates->art existing (candidate
+    # rejection), which only needs the 2k-candidate suffix and so runs as
+    # its own small scan rather than as a second full-width mask. ---
     q01 = jnp.concatenate([S.pos[0], cand], axis=0)              # [Sq,3]
-    q = jnp.stack([q01, jnp.concatenate([S.pos[1], cand], 0), q01])
+    q = jnp.stack([q01, q01, jnp.concatenate([S.pos[1], cand], 0)])
     pts = F.pos[jnp.asarray([0, 1, 1])]
-    mask_a = jnp.stack([active[0], active[1], exists[1]])
-    mask_b = jnp.stack([exists[0], exists[0], exists[0]])
+    mask1 = jnp.stack([active[0], exists[1], active[1]])
     if _use_pallas():
-        dd, ii = masked_nearest_pallas(q, pts,
-                                       jnp.stack([mask_a, mask_b], axis=1))
-        dA, iA, dB, iB = dd[:, 0], ii[:, 0], dd[:, 1], ii[:, 1]
+        dd, ii = masked_nearest_pallas(q, pts, mask1[:, None, :])
+        d_cand, i_cand = masked_nearest_pallas(
+            cand[None], F.pos[:1], exists[:1][:, None, :])
+        dA = jnp.stack([dd[0, 0], dd[2, 0], dd[1, 0]])
+        iA = jnp.stack([ii[0, 0], ii[2, 0], ii[1, 0]])
+        d_cand_art, i_cand_art = d_cand[0, 0], i_cand[0, 0]
     else:
-        dA, iA, dB, iB = jax.vmap(
-            lambda qq, pp, a, b: _chunked_nearest2(
-                qq, pp, a, b,
-                chunk=max(256, chunk // 4)))(q, pts, mask_a, mask_b)
+        dd, ii = jax.vmap(
+            lambda qq, pp, a: _chunked_nearest(
+                qq, pp, a, chunk=max(256, chunk // 4)))(q, pts, mask1)
+        dA = jnp.stack([dd[0], dd[2], dd[1]])
+        iA = jnp.stack([ii[0], ii[2], ii[1]])
+        d_cand_art, i_cand_art = _chunked_nearest(
+            cand, F.pos[0], exists[0], chunk=max(256, chunk // 4))
 
     # --- 1b. candidate filtering (``greenhouse.py:319-341``) ---
     # reject near arterial nodes (within eps_n AND inside the oxygen radius)
-    d_cand_art = dB[0, sc:]
-    i_cand_art = jnp.clip(iB[0, sc:], 0, nc - 1)
+    i_cand_art = jnp.clip(i_cand_art, 0, nc - 1)
     oxy_d = _oxygen_distance(F.radius[0][i_cand_art], param_scale)
     near_bad = (d_cand_art <= jnp.maximum(eps_n, eps_k)) & (d_cand_art <= oxy_d)
     valid &= ~near_bad
@@ -680,7 +725,7 @@ def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
     view_alive = jnp.stack([
         jnp.concatenate([S.alive[0], accept]),
         jnp.concatenate([S.alive[1], jnp.zeros_like(accept)])])
-    view_pos = q[:2]                                             # [2, Sq, 3]
+    view_pos = jnp.stack([q[0], q[2]])                           # [2, Sq, 3]
 
     def grow_row(f, sp, sa, dist, idx, ga, de, kk):
         return _grow_core(
@@ -688,23 +733,34 @@ def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
             kappa=mp.kappa, phi=mp.phi, omega=mp.omega,
             faz_center=faz_center, faz_radius=state.faz_radius,
             rotation_radius=rotation_radius, first_mode=mp.first_mode,
-            t=t, key=kk, murray_sweeps=murray_sweeps)
+            t=t, key=kk, murray_sweeps=murray_sweeps, new_cap=new_cap)
 
-    newF, new_window = jax.vmap(grow_row)(
+    newF, new_window, sat = jax.vmap(grow_row)(
         F, view_pos, view_alive, dA[:2], iA[:2],
         jnp.asarray([mp.gamma_art, mp.gamma_ven], jnp.float32),
         jnp.stack([delta_art, delta_ven]),
         jnp.stack([k_art, k_ven]))
 
-    # --- 3+5. satisfied sinks (within eps_k of this iteration's new nodes) ---
+    # --- 3+5. satisfied sinks (within eps_k of this iteration's new nodes).
+    # New nodes are a dense window [n_nodes_old, n_nodes_new): slice it
+    # (padded so a near-capacity slice can't clamp-shift) instead of
+    # distance-scanning the whole node array under a window mask ---
+    del new_window  # the dense slice below replaces the mask form
+    k_new = min(new_cap, nc)
+    win_pos = jax.vmap(
+        lambda p, s: jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([p, jnp.zeros((k_new, 3), p.dtype)], 0),
+            s, k_new, 0))(newF.pos, F.n_nodes)
+    win_valid = (jnp.arange(k_new)[None, :]
+                 < (newF.n_nodes - F.n_nodes)[:, None])
     if _use_pallas():
         d_new = masked_nearest_pallas(
-            view_pos, newF.pos, new_window[:, None, :],
-            want_idx=False)[:, 0]
+            view_pos, win_pos, win_valid[:, None, :], want_idx=False)[:, 0]
     else:
         d_new = jax.vmap(
             lambda qq, pp, m: _chunked_min_dist_subset(
-                qq, pp, m, chunk=chunk))(view_pos, newF.pos, new_window)
+                qq, pp, m, chunk=min(chunk, k_new)))(
+                    view_pos, win_pos, win_valid)
     satisfied = view_alive & (d_new <= eps_k)
     # oxygen sinks satisfied by new arterial nodes convert to CO2 when no
     # venous node (pre-growth, as in the reference) is within eps_k
@@ -718,14 +774,18 @@ def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
     acc0 = jnp.concatenate([jnp.zeros((sc,), bool),
                             accept & ~satisfied[0, sc:]])
     props = jnp.stack([view_pos[0], view_pos[0]])
-    newS = jax.vmap(_append_sinks)(base, props, jnp.stack([acc0, to_co2]))
+    newS, sat_app = jax.vmap(
+        lambda b, p, a: _append_sinks(
+            b, p, a, max_append=max(2048, new_cap)))(
+                base, props, jnp.stack([acc0, to_co2]))
 
     # --- 6. simulation space expansion ---
     sigma = state.sigma_t + mp.delta_sigma
     d_cur = jnp.maximum(d_start / sigma, 0.04 / param_scale)
 
     return StackedState(newF, newS, sigma, d_cur, state.d_start,
-                        state.faz_radius, key)
+                        state.faz_radius, key,
+                        state.sat | jnp.any(sat) | jnp.any(sat_app))
 
 
 def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
@@ -733,7 +793,7 @@ def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
              murray_sweeps=8, collect_stats: bool = False,
              i0: int = 0, seg_len: int | None = None,
              nerve_center=None, nerve_radius=0.0, geometry=None,
-             chunk=2048):
+             chunk=2048, new_cap=1024):
     """Run iterations ``i0 .. i0+seg_len`` of one mode under lax.scan.
     Sigma resets to 1 at mode entry (i0 == 0) and ``d`` continues
     (compounds) from the previous mode, as in ``init_params_from_config``
@@ -757,7 +817,7 @@ def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
             r0=r0, rotation_radius=rotation_radius, faz_center=faz_center,
             size_z=size_z, n_cand=n_cand, murray_sweeps=murray_sweeps,
             nerve_center=nerve_center, nerve_radius=nerve_radius,
-            geometry=geometry, chunk=chunk)
+            geometry=geometry, chunk=chunk, new_cap=new_cap)
         stats = None
         if collect_stats:
             n_alive = jnp.sum(st.sinks.alive, axis=-1)
@@ -791,6 +851,7 @@ def init_forest_stumps(rng: np.random.Generator, n_trees: int,
     radius = np.zeros((node_capacity,), np.float32)
     parent = np.full((node_capacity,), -1, np.int32)
     first_child = np.full((node_capacity,), -1, np.int32)
+    child2 = np.full((node_capacity,), -1, np.int32)
     n_children = np.zeros((node_capacity,), np.int32)
     is_root = np.zeros((node_capacity,), bool)
     i = 0
@@ -824,8 +885,8 @@ def init_forest_stumps(rng: np.random.Generator, n_trees: int,
         i += 2
     return ForestState(
         jnp.asarray(pos), jnp.asarray(radius), jnp.asarray(parent),
-        jnp.asarray(first_child), jnp.asarray(n_children),
-        jnp.asarray(is_root), jnp.int32(i))
+        jnp.asarray(first_child), jnp.asarray(child2),
+        jnp.asarray(n_children), jnp.asarray(is_root), jnp.int32(i))
 
 
 class Greenhouse:
@@ -901,7 +962,7 @@ class Greenhouse:
         return GrowthState(
             art, ven, empty, empty, jnp.float32(1.0), jnp.float32(self.d),
             jnp.float32(self.d), jnp.float32(max(faz_r, 0.0)),
-            jax.random.PRNGKey(rng_seed))
+            jax.random.PRNGKey(rng_seed), jnp.asarray(False))
 
     #: iterations per capacity-staging segment
     SEG_LEN = 50
@@ -931,6 +992,7 @@ class Greenhouse:
             t0 += mp.I
         all_stats = []
         slope = 64.0  # nodes/iteration forecast, refined per segment
+        ecap = 1024   # per-iteration emission-window cap (staged like NC)
         n_now = float(np.asarray(
             jnp.maximum(state.art.n_nodes, state.ven.n_nodes)).max())
         for mi, t0, i0, seg_len in segments:
@@ -939,9 +1001,13 @@ class Greenhouse:
                 cap = min(max(cap, 1024), self.node_capacity)
                 seg_state = _resize_forests(state, cap)
                 fn = self._jitted_segment(
-                    mi, t0, i0, seg_len, cap, murray_sweeps, collect_stats)
+                    mi, t0, i0, seg_len, cap, murray_sweeps, collect_stats,
+                    ecap)
                 out = jax.block_until_ready(fn(seg_state))
                 new_state, stats = out if collect_stats else (out, None)
+                if bool(np.asarray(new_state.sat).any()):
+                    ecap *= 2  # emission window overflowed: redo, bigger
+                    continue
                 n_after = float(np.asarray(jnp.maximum(
                     new_state.art.n_nodes, new_state.ven.n_nodes)).max())
                 if n_after >= cap - 2 and cap < self.node_capacity:
@@ -958,14 +1024,16 @@ class Greenhouse:
         return state
 
     def _jitted_segment(self, mode_idx: int, t0: int, i0: int, seg_len: int,
-                        cap: int, murray_sweeps: int, collect_stats: bool):
+                        cap: int, murray_sweeps: int, collect_stats: bool,
+                        new_cap: int = 1024):
         """Cache jitted segment programs. A fresh ``jax.jit`` wrapper per
         call would re-trace AND re-compile every ``develop_forest`` — pure
         waste, and repeated remote compiles are the main source of tunnel
         flakiness on the axon TPU backend."""
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
-        key = (mode_idx, t0, i0, seg_len, cap, murray_sweeps, collect_stats)
+        key = (mode_idx, t0, i0, seg_len, cap, murray_sweeps, collect_stats,
+               new_cap)
         if key not in self._jit_cache:
             mp = self.modes[mode_idx]
 
@@ -978,7 +1046,8 @@ class Greenhouse:
                     collect_stats=collect_stats, i0=i0, seg_len=seg_len,
                     nerve_center=self.nerve_center,
                     nerve_radius=self.nerve_radius,
-                    geometry=self.geometry, chunk=self.chunk)
+                    geometry=self.geometry, chunk=self.chunk,
+                    new_cap=new_cap)
 
             self._jit_cache[key] = jax.jit(jax.vmap(run_seg))
         return self._jit_cache[key]
@@ -1052,6 +1121,7 @@ def _resize_forests(state: GrowthState, cap: int) -> GrowthState:
             radius=jnp.pad(f.radius, pad1),
             parent=jnp.pad(f.parent, pad1, constant_values=-1),
             first_child=jnp.pad(f.first_child, pad1, constant_values=-1),
+            child2=jnp.pad(f.child2, pad1, constant_values=-1),
             n_children=jnp.pad(f.n_children, pad1),
             is_root=jnp.pad(f.is_root, pad1),
             n_nodes=f.n_nodes,

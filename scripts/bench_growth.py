@@ -2,7 +2,10 @@
 
 Usage: python scripts/bench_growth.py [batch] [config.yml]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import yaml

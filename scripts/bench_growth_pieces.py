@@ -1,5 +1,9 @@
 """Time isolated growth-loop pieces at representative shapes, batch 32."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

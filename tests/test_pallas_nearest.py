@@ -62,3 +62,4 @@ def test_pallas_nearest_min_only_and_all_invalid():
                               jnp.asarray(mask), want_idx=False,
                               tq=64, blk=128, interpret=True)
     assert np.all(np.asarray(d) > 1e6)
+
