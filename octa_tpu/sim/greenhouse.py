@@ -997,7 +997,12 @@ class Greenhouse:
             jnp.maximum(state.art.n_nodes, state.ven.n_nodes)).max())
         for mi, t0, i0, seg_len in segments:
             while True:
-                cap = _pow2ceil(int(n_now + slope * seg_len * 2.5) + 64)
+                # 2048-granular capacities (not pow2: the distance scans,
+                # Murray sweeps and segment sums all scale with capacity, and
+                # pow2 rounding overshoots the live node count by up to 2x in
+                # the expensive late segments); kernels pad to 2048 anyway
+                cap = int(n_now + slope * seg_len * 1.8) + 64
+                cap = _pow2ceil(cap) if cap <= 2048 else -(-cap // 2048) * 2048
                 cap = min(max(cap, 1024), self.node_capacity)
                 seg_state = _resize_forests(state, cap)
                 fn = self._jitted_segment(
@@ -1128,6 +1133,22 @@ def _resize_forests(state: GrowthState, cap: int) -> GrowthState:
         )
 
     return state._replace(art=grow(state.art), ven=grow(state.ven))
+
+
+def forest_edges_device(f: ForestState):
+    """Device-side edge arrays from a (possibly batched) ForestState:
+    ``(node_xy, parent_xy, radius, valid)``, one edge slot per node (roots
+    and padding invalid). Feeds the splat rasterizers directly — the
+    generate→rasterize pipeline never round-trips edge lists through the
+    host (the reference materializes CSVs between `generate_vessel_graph.py`
+    and `tree2img.py`; on TPU that host hop costs more than rasterizing)."""
+    nc = f.pos.shape[-2]
+    exists = jnp.arange(nc) < (
+        f.n_nodes[..., None] if f.n_nodes.ndim else f.n_nodes)
+    par = jnp.clip(f.parent, 0, nc - 1)
+    ppos = jnp.take_along_axis(f.pos, par[..., None], axis=-2)
+    valid = exists & (f.parent >= 0)
+    return f.pos[..., :2], ppos[..., :2], f.radius, valid
 
 
 def forest_to_edges(forest_state, sim_index: int | None = None) -> dict:
