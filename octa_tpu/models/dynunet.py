@@ -131,6 +131,7 @@ class CanonConv(nn.Module):
     mode: str = "direct"  # direct | s2d | s2d_down | s2d_out
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    axis_name: str | None = None  # spatial-shard mesh axis (H sharded)
 
     @nn.compact
     def __call__(self, x):
@@ -144,7 +145,14 @@ class CanonConv(nn.Module):
         # accumulates bf16 convs in f32 internally regardless
         conv = functools.partial(
             jax.lax.conv_general_dilated, dimension_numbers=_DN)
-        if self.mode == "direct":
+        if self.axis_name is not None:
+            if self.mode != "direct":
+                raise ValueError("spatial sharding requires direct convs")
+            if k > 1:
+                from octa_tpu.parallel.spatial import halo_exchange
+                xd = halo_exchange(xd, k // 2, k // 2, self.axis_name)
+            y = conv(xd, kd, (s, s), [(0, 0), (k // 2, k // 2)])
+        elif self.mode == "direct":
             y = conv(xd, kd, (s, s), [(k // 2, k // 2)] * 2)
         elif self.mode == "s2d":          # stride-1 k=3, S2D in/out
             y = conv(xd, _s2d_weights_s1(kd), (1, 1), [(1, 1), (1, 1)])
@@ -172,19 +180,22 @@ class UnetBasicBlock(nn.Module):
     conv2_mode: str = "direct"
     norm1_groups: int = 1
     norm2_groups: int = 1
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x):
         k, s = self.kernel_size, self.stride
         x = CanonConv(self.features, k, s, mode=self.conv1_mode,
-                      dtype=self.dtype, name="conv1")(x)
+                      dtype=self.dtype, axis_name=self.axis_name,
+                      name="conv1")(x)
         x = InstanceNorm(affine=True, groups=self.norm1_groups,
-                         name="norm1")(x)
+                         axis_name=self.axis_name, name="norm1")(x)
         x = nn.leaky_relu(x, self.negative_slope)
         x = CanonConv(self.features, k, 1, mode=self.conv2_mode,
-                      dtype=self.dtype, name="conv2")(x)
+                      dtype=self.dtype, axis_name=self.axis_name,
+                      name="conv2")(x)
         x = InstanceNorm(affine=True, groups=self.norm2_groups,
-                         name="norm2")(x)
+                         axis_name=self.axis_name, name="norm2")(x)
         return nn.leaky_relu(x, self.negative_slope)
 
 
@@ -195,6 +206,7 @@ class UnetUpBlock(nn.Module):
     up_kernel: int = 2
     dtype: jnp.dtype = jnp.float32
     s2d: bool = False  # produce S2D output (skip must be S2D phase-major)
+    axis_name: str | None = None  # k=s transp-convs tile shard-locally
 
     @nn.compact
     def __call__(self, x, skip):
@@ -211,6 +223,9 @@ class UnetUpBlock(nn.Module):
                 conv1_mode="s2d", conv2_mode="s2d",
                 norm1_groups=4, norm2_groups=4, name="conv_block",
             )(x)
+        if self.axis_name is not None and self.up_kernel > s:
+            raise ValueError("spatial sharding needs k<=s transp-convs "
+                             "(non-overlapping tiles)")
         x = nn.ConvTranspose(
             self.features, (self.up_kernel, self.up_kernel),
             strides=(s, s), padding="SAME", use_bias=False,
@@ -219,7 +234,7 @@ class UnetUpBlock(nn.Module):
         x = jnp.concatenate([x, skip], axis=-1)
         return UnetBasicBlock(
             self.features, self.kernel_size, 1, dtype=self.dtype,
-            name="conv_block",
+            axis_name=self.axis_name, name="conv_block",
         )(x)
 
 
@@ -264,6 +279,11 @@ class DynUNet(nn.Module):
     #: 1216² segmentor (the joint GAN-seg step OOMs at 26GB/16GB without it)
     #: at the cost of one extra forward per block.
     remat: bool = False
+    #: spatial-sharding mesh axis: when set (see
+    #: ``octa_tpu.parallel.spatial``), the H axis of the input is a shard of
+    #: the global image; 3x3 convs halo-exchange one row over ICI and
+    #: InstanceNorm psums its moments. Exact vs the unsharded forward (f32).
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -282,7 +302,8 @@ class DynUNet(nn.Module):
                for k in self.upsample_kernel_size][::-1]
 
         use_s2d = (
-            x.shape[1] >= self.s2d_threshold
+            self.axis_name is None
+            and x.shape[1] >= self.s2d_threshold
             and x.shape[2] >= self.s2d_threshold
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
             and n >= 3 and st[0] == 1 and ks[0] == 3
@@ -305,17 +326,19 @@ class DynUNet(nn.Module):
             first_down = 2
         else:
             h = Basic(
-                f[0], ks[0], st[0], dtype=self.dtype, name="input_block")(x)
+                f[0], ks[0], st[0], dtype=self.dtype,
+                axis_name=self.axis_name, name="input_block")(x)
             skips.append(h)
             first_down = 1
 
         for i in range(first_down, n - 1):
             h = Basic(
                 f[i], ks[i], st[i], dtype=self.dtype,
-                name=f"downsample_{i - 1}")(h)
+                axis_name=self.axis_name, name=f"downsample_{i - 1}")(h)
             skips.append(h)
         h = Basic(
-            f[-1], ks[-1], st[-1], dtype=self.dtype, name="bottleneck")(h)
+            f[-1], ks[-1], st[-1], dtype=self.dtype,
+            axis_name=self.axis_name, name="bottleneck")(h)
 
         for j, i in enumerate(range(n - 1, 0, -1)):
             last = i - 1 == 0
@@ -323,7 +346,8 @@ class DynUNet(nn.Module):
                 f[i - 1], ks[i - 1], up_stride=up_strides[j],
                 up_kernel=max(upk[j] if j < len(upk) else up_strides[j],
                               up_strides[j]),
-                dtype=self.dtype, s2d=use_s2d and last, name=f"upsample_{j}",
+                dtype=self.dtype, s2d=use_s2d and last,
+                axis_name=self.axis_name, name=f"upsample_{j}",
             )(h, skips[i - 1])
 
         if use_s2d:
@@ -334,5 +358,6 @@ class DynUNet(nn.Module):
         else:
             out = CanonConv(
                 self.out_channels, 1, mode="direct", use_bias=True,
-                dtype=self.dtype, name="output_block")(h)
+                dtype=self.dtype, axis_name=self.axis_name,
+                name="output_block")(h)
         return out.astype(jnp.float32)

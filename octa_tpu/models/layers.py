@@ -31,10 +31,32 @@ class InstanceNorm(nn.Module):
     eps: float = 1e-5
     groups: int = 1  # >1: channels are [groups, C] phase-major (S2D domain);
     # statistics and affine act per canonical channel C across groups.
+    axis_name: str | None = None  # psum moments over a spatial-shard axis
 
     @nn.compact
     def __call__(self, x):
         x32 = x.astype(jnp.float32)
+        if self.axis_name is not None:
+            if self.groups > 1:
+                raise ValueError("sharded InstanceNorm: groups unsupported")
+            axes = tuple(range(1, x.ndim - 1))
+            cnt = 1.0
+            for a in axes:
+                cnt *= x.shape[a]
+            n = cnt * jax.lax.axis_size(self.axis_name)
+            s1 = jax.lax.psum(jnp.sum(x32, axis=axes, keepdims=True),
+                              self.axis_name)
+            s2 = jax.lax.psum(jnp.sum(x32 * x32, axis=axes, keepdims=True),
+                              self.axis_name)
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
+            y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+            if self.affine:
+                c = x.shape[-1]
+                scale = self.param("scale", nn.initializers.ones, (c,))
+                bias = self.param("bias", nn.initializers.zeros, (c,))
+                y = y * scale + bias
+            return y.astype(x.dtype)
         if self.groups > 1:
             c = x.shape[-1] // self.groups
             xg = x32.reshape(*x.shape[:-1], self.groups, c)
