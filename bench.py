@@ -140,12 +140,18 @@ def main(scope: str = "e2e"):
 
     def run_all(seed):
         outs = []
+        step = 0
         for (a, b, w, v) in grow(seed, N_IMAGES):
-            for i in range(a.shape[0] // BATCH):
-                s = slice(i * BATCH, (i + 1) * BATCH)
-                pred, lab = pipeline_device(a[s], b[s], w[s], v[s],
-                                            jax.random.fold_in(rng, i))
+            # ceil-chunk so fault-halved growth batches still segment every
+            # sample (the final chunk pads by wrapping; metric honesty:
+            # padded lanes are recomputed samples, not skipped ones)
+            nb = a.shape[0]
+            for i in range(-(-nb // BATCH)):
+                idx = (np.arange(i * BATCH, (i + 1) * BATCH)) % nb
+                pred, lab = pipeline_device(a[idx], b[idx], w[idx], v[idx],
+                                            jax.random.fold_in(rng, step))
                 outs.append(pred)
+                step += 1
         jax.block_until_ready(outs)
         return float(jnp.sum(outs[-1]))  # force full drain (axon RPC)
 

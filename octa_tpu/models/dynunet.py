@@ -282,7 +282,8 @@ class DynUNet(nn.Module):
     #: spatial-sharding mesh axis: when set (see
     #: ``octa_tpu.parallel.spatial``), the H axis of the input is a shard of
     #: the global image; 3x3 convs halo-exchange one row over ICI and
-    #: InstanceNorm psums its moments. Exact vs the unsharded forward (f32).
+    #: InstanceNorm psums its moments (matches the unsharded forward to
+    #: float reduction-order tolerance).
     axis_name: str | None = None
 
     @nn.compact

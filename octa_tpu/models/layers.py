@@ -44,12 +44,14 @@ class InstanceNorm(nn.Module):
             for a in axes:
                 cnt *= x.shape[a]
             n = cnt * jax.lax.axis_size(self.axis_name)
-            s1 = jax.lax.psum(jnp.sum(x32, axis=axes, keepdims=True),
-                              self.axis_name)
-            s2 = jax.lax.psum(jnp.sum(x32 * x32, axis=axes, keepdims=True),
-                              self.axis_name)
-            mean = s1 / n
-            var = jnp.maximum(s2 / n - mean * mean, 0.0)
+            # two-pass (mean first, then centered second moment): the
+            # single-pass E[x²]-mean² form cancels catastrophically in f32
+            # when |mean| >> std, diverging from the unsharded jnp.var path
+            mean = jax.lax.psum(
+                jnp.sum(x32, axis=axes, keepdims=True), self.axis_name) / n
+            var = jax.lax.psum(
+                jnp.sum((x32 - mean) ** 2, axis=axes, keepdims=True),
+                self.axis_name) / n
             y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
             if self.affine:
                 c = x.shape[-1]

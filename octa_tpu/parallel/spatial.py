@@ -6,8 +6,9 @@ axis of NHWC activations over a ``space`` mesh axis with shard_map:
 
 - 3x3 convs exchange one halo row with each neighbor over ICI
   (``jax.lax.ppermute``); a missing neighbor contributes zeros, which is
-  exactly torch's zero padding at the global boundary, so results are
-  bit-identical to the unsharded forward (f32).
+  exactly torch's zero padding at the global boundary. Results match the
+  unsharded forward to float reduction-order tolerance (convs are
+  element-exact; the psum'd norm moments may associate differently).
 - stride-2 convs stay aligned because every shard keeps an even row count
   (H must be divisible by ``n_space * 2^n_downsamples``).
 - k=2, s=2 transposed convs tile without overlap — no communication.
@@ -63,7 +64,8 @@ def dynunet_spatial_infer(model, variables, x, mesh: Mesh,
 
     H must be divisible by ``n_space * 2^n_downsamples`` so every strided
     stage keeps whole, even-height shards (1216 over 4 ways: 304 -> 152 ->
-    76 -> 38 per shard). Matches the unsharded forward exactly in f32.
+    76 -> 38 per shard). Matches the unsharded forward to float
+    reduction-order tolerance.
     """
     smodel = model.clone(axis_name=space_axis, s2d_threshold=1 << 30)
 

@@ -40,8 +40,9 @@ GEOMETRY_SIZE = 76
 
 def _use_pallas() -> bool:
     """Nearest-neighbor scans run as a Pallas kernel on TPU (VMEM-resident d²
-    tiles, MXU cross term); the XLA chunked scan is the CPU/test path."""
-    return jax.default_backend() == "tpu"
+    tiles, VPU outer-product cross term); the XLA chunked scan is the
+    CPU/test path. "axon" is the tunneled-TPU backend name."""
+    return jax.default_backend() in ("tpu", "axon")
 
 
 # ---------------------------------------------------------------------------
@@ -53,7 +54,6 @@ class ForestState(NamedTuple):
     radius: jax.Array       # [NC]
     parent: jax.Array       # [NC] int32, -1 for roots/empty
     first_child: jax.Array  # [NC] int32, -1 if none
-    child2: jax.Array       # [NC] int32 second child, -1 if none
     n_children: jax.Array   # [NC] int32
     is_root: jax.Array      # [NC] bool
     n_nodes: jax.Array      # scalar int32
@@ -211,11 +211,10 @@ def _chunked_min_dist_subset(query, points, valid, chunk=2048, n_valid=None):
 
 def _chunked_nearest2(query, points, mask_a, mask_b, chunk=512):
     """Two-mask nearest: one pass over the pairwise d² matrix yields minima
-    under two different point-validity masks — (dA, iA, dB, iB). Used to
-    fuse the growth-assignment query (active nodes) with the
-    candidate-rejection query (all existing nodes) into a single scan:
-    scatter/gather/scan ops carry a large fixed cost on this backend, so the
-    growth loop's speed is set by op count, not FLOPs."""
+    under two different point-validity masks — (dA, iA, dB, iB). Not on the
+    production path (the loop uses single-mask calls sized so every lane is
+    consumed); retained as the multi-mask CPU oracle for the Pallas kernel
+    tests (``tests/test_pallas_nearest.py``)."""
     nc = points.shape[0]
     n_chunks = -(-nc // chunk)
     pad = n_chunks * chunk - nc
@@ -362,7 +361,9 @@ def _append_sinks(sinks: SinkState, pos, accept, max_append=2048):
         [sinks.pos, sinks.alive[:, None].astype(jnp.float32)], -1)
     upd = jnp.concatenate(
         [pos[cand_idx], jnp.ones((k, 1), jnp.float32)], -1)
-    posal = posal.at[tgt].set(upd, mode="drop", unique_indices=True)
+    # NOT unique_indices: every non-placed row shares the dropped sentinel
+    # index sc, which would violate the uniqueness contract
+    posal = posal.at[tgt].set(upd, mode="drop")
     return (SinkState(posal[:, :3], posal[:, 3] > 0.5),
             n_acc > k)
 
@@ -560,7 +561,12 @@ def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
     n_emit_raw = (2 * bifurcate + 1 * elongate + 1 * sprout).astype(jnp.int32)
     cum_raw = jnp.cumsum(n_emit_raw)
     fits = ((forest.n_nodes + cum_raw) <= nc) & (cum_raw <= new_cap)
-    sat = cum_raw[-1] > new_cap  # window overflow -> segment redo, bigger cap
+    # window overflow -> segment redo with a bigger window; once the window
+    # equals node capacity a bigger window cannot help (drops then mean the
+    # forest itself is full — the node-capacity staging redo handles that),
+    # so don't signal: a sat that doubling can't clear would livelock the
+    # redo loop
+    sat = (cum_raw[-1] > new_cap) if new_cap < nc else jnp.asarray(False)
     n_emit = jnp.where(fits, n_emit_raw, 0)
     cum = jnp.cumsum(n_emit)
     offs = forest.n_nodes + cum - n_emit
@@ -595,22 +601,18 @@ def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
     # child pointers / counts are per-source-node -> pure elementwise
     set_fc = emit1 & (forest.n_children == 0)
     first_child = jnp.where(set_fc, offs, forest.first_child)
-    # second child: bifurcation's 2nd node, or a sprout at a 1-child node
-    child2 = jnp.where(emit2, offs + 1,
-                       jnp.where(emit1 & (forest.n_children == 1), offs,
-                                 forest.child2))
     n_children = forest.n_children + n_emit
     is_root = forest.is_root
     n_nodes = forest.n_nodes + total_new
 
-    new_forest = ForestState(pos, radius, parent, first_child, child2,
+    new_forest = ForestState(pos, radius, parent, first_child,
                              n_children, is_root, n_nodes)
 
     # ---- Murray radius sweeps (optimize_edge_radius_to_root) ----
     # Scatter-add over the parent pointers. Measured alternatives at 16k
-    # capacity: this costs ~9 ms/sweep; the gather form through
-    # first_child/child2 costs ~26 ms/sweep (TPU gathers are also serial
-    # per index, and it needs 2 gathers per sweep) — scatter wins here.
+    # capacity: this costs ~9 ms/sweep; a gather form through per-node child
+    # pointers costs ~26 ms/sweep (TPU gathers are also serial per index,
+    # and it needs 2 gathers per sweep) — scatter wins here.
     def murray(i, f: ForestState):
         exists = jnp.arange(nc) < f.n_nodes
         rk = jnp.where(exists, f.radius**kappa, 0.0)
@@ -623,8 +625,7 @@ def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
 
     new_forest = jax.lax.fori_loop(0, murray_sweeps, murray, new_forest)
 
-    new_window = (jnp.arange(nc) >= forest.n_nodes) & (jnp.arange(nc) < n_nodes)
-    return new_forest, new_window, sat
+    return new_forest, sat
 
 
 # ---------------------------------------------------------------------------
@@ -735,7 +736,7 @@ def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
             rotation_radius=rotation_radius, first_mode=mp.first_mode,
             t=t, key=kk, murray_sweeps=murray_sweeps, new_cap=new_cap)
 
-    newF, new_window, sat = jax.vmap(grow_row)(
+    newF, sat = jax.vmap(grow_row)(
         F, view_pos, view_alive, dA[:2], iA[:2],
         jnp.asarray([mp.gamma_art, mp.gamma_ven], jnp.float32),
         jnp.stack([delta_art, delta_ven]),
@@ -745,7 +746,6 @@ def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
     # New nodes are a dense window [n_nodes_old, n_nodes_new): slice it
     # (padded so a near-capacity slice can't clamp-shift) instead of
     # distance-scanning the whole node array under a window mask ---
-    del new_window  # the dense slice below replaces the mask form
     k_new = min(new_cap, nc)
     win_pos = jax.vmap(
         lambda p, s: jax.lax.dynamic_slice_in_dim(
@@ -851,7 +851,6 @@ def init_forest_stumps(rng: np.random.Generator, n_trees: int,
     radius = np.zeros((node_capacity,), np.float32)
     parent = np.full((node_capacity,), -1, np.int32)
     first_child = np.full((node_capacity,), -1, np.int32)
-    child2 = np.full((node_capacity,), -1, np.int32)
     n_children = np.zeros((node_capacity,), np.int32)
     is_root = np.zeros((node_capacity,), bool)
     i = 0
@@ -885,7 +884,7 @@ def init_forest_stumps(rng: np.random.Generator, n_trees: int,
         i += 2
     return ForestState(
         jnp.asarray(pos), jnp.asarray(radius), jnp.asarray(parent),
-        jnp.asarray(first_child), jnp.asarray(child2),
+        jnp.asarray(first_child),
         jnp.asarray(n_children), jnp.asarray(is_root), jnp.int32(i))
 
 
@@ -1011,7 +1010,8 @@ class Greenhouse:
                 out = jax.block_until_ready(fn(seg_state))
                 new_state, stats = out if collect_stats else (out, None)
                 if bool(np.asarray(new_state.sat).any()):
-                    ecap *= 2  # emission window overflowed: redo, bigger
+                    # emission/append window overflowed: redo, bigger
+                    ecap = min(ecap * 2, self.node_capacity)
                     continue
                 n_after = float(np.asarray(jnp.maximum(
                     new_state.art.n_nodes, new_state.ven.n_nodes)).max())
@@ -1126,7 +1126,6 @@ def _resize_forests(state: GrowthState, cap: int) -> GrowthState:
             radius=jnp.pad(f.radius, pad1),
             parent=jnp.pad(f.parent, pad1, constant_values=-1),
             first_child=jnp.pad(f.first_child, pad1, constant_values=-1),
-            child2=jnp.pad(f.child2, pad1, constant_values=-1),
             n_children=jnp.pad(f.n_children, pad1),
             is_root=jnp.pad(f.is_root, pad1),
             n_nodes=f.n_nodes,

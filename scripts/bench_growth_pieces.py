@@ -102,13 +102,13 @@ def murray(par, rad):
 timeit("murray 8 scatter sweeps", murray, parent, radius)
 
 
-# 7. append_sinks (argsort-based compaction)
+# 7. append_sinks (compacted compare_all inversion + small scatter)
 acc = jax.random.bernoulli(key, 0.1, (B, SC))
 
 def append(a):
     def one(aa):
         s = gh.SinkState(jnp.zeros((SC, 3)), jnp.zeros((SC,), bool))
-        return gh._append_sinks(s, jnp.zeros((SC, 3)), aa).alive
+        return gh._append_sinks(s, jnp.zeros((SC, 3)), aa)[0].alive
     return jax.vmap(one)(a)
 
-timeit("append_sinks (argsort)", append, acc)
+timeit("append_sinks (compacted)", append, acc)
