@@ -192,6 +192,12 @@ class SegAlgorithm(BaseAlgorithm):
         net_kwargs.pop("inference", None)
         if model_name in ("DynUNet", "resnetGenerator9", "patchGAN70x70",
                           "ResnetGenerator", "NLayerDiscriminator"):
+            if phase == Phase.TRAIN and model_name == "DynUNet":
+                # gradient-checkpoint the blocks by default: the reference
+                # recipe (batch 4, 1216²) needs ~22GB HBM un-remat'd and
+                # OOMs a 16GB v5e; with remat it fits (config can override
+                # with an explicit "remat": false)
+                net_kwargs.setdefault("remat", True)
             self.net = ctor(dtype=self.dtype, **net_kwargs)
             self.parameterless = False
         else:
