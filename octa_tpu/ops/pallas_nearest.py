@@ -92,7 +92,7 @@ def _nearest_kernel(q_ref, pt_ref, pen_ref, *out_refs, n_blk: int,
     static_argnames=("want_idx", "tq", "blk", "interpret"),
 )
 def masked_nearest_pallas(query, points, masks, *, want_idx: bool = True,
-                          tq: int = 128, blk: int = 2048,
+                          tq: int = 128, blk: int = 8192,
                           interpret: bool = False):
     """Masked nearest-neighbor distances (Pallas TPU kernel).
 
