@@ -40,7 +40,7 @@ def _run_reference():
     from vessel_graph_generation.forest import Forest
     from vessel_graph_generation.greenhouse import Greenhouse
 
-    arts, radii = [], []
+    arts, oxys, radii = [], [], []
     for seed in range(N_SEEDS):
         np.random.seed(seed)
         random.seed(seed)
@@ -54,31 +54,37 @@ def _run_reference():
         gh.set_forests(art, ven)
         gh.develop_forest()
         arts.append(gh.art_nodes_per_step[-1])
+        oxys.append(gh.oxys_per_step[-1])
         radii.extend(n.radius for t in art.get_trees()
                      for n in t.get_tree_iterator(exclude_root=True))
-    return np.array(arts), np.array(radii)
+    return np.array(arts), np.array(oxys), np.array(radii)
 
 
 def _run_ours():
     from octa_tpu.sim import greenhouse as gh
 
     g = gh.Greenhouse(CFG, node_capacity=4096, sink_capacity=4096, seed=100)
-    st = g.develop_forest(FOREST, batch=N_SEEDS)
+    st, stats = g.develop_forest(FOREST, batch=N_SEEDS, collect_stats=True)
     arts = np.asarray(st.art.n_nodes)
+    oxys = np.asarray(stats)[:, -1, 2]
     radii = []
     for b in range(N_SEEDS):
         e = gh.forest_to_edges(st.art, b)
         radii.extend(e["radius"].tolist())
-    return arts, np.array(radii)
+    return arts, oxys, np.array(radii)
 
 
 @pytest.mark.slow
 def test_growth_statistics_match_reference():
-    ref_counts, ref_radii = _run_reference()
-    our_counts, our_radii = _run_ours()
+    ref_counts, ref_oxys, ref_radii = _run_reference()
+    our_counts, our_oxys, our_radii = _run_ours()
     ref_mean, our_mean = ref_counts.mean(), our_counts.mean()
     assert abs(our_mean - ref_mean) / ref_mean < 0.35, (
         f"node count mismatch: ours {our_counts} vs ref {ref_counts}")
+    # alive oxygen-sink accumulation (accept minus satisfy balance);
+    # measured at SVC-40 on the docker schedule: ref 870, ours 856-880
+    assert abs(our_oxys.mean() - ref_oxys.mean()) / ref_oxys.mean() < 0.25, (
+        f"oxy sink mismatch: ours {our_oxys} vs ref {ref_oxys}")
     # radius distributions: same median, comparable upper quantile
     assert abs(np.median(our_radii) - np.median(ref_radii)) < 1e-4
     q90r, q90o = np.quantile(ref_radii, 0.9), np.quantile(our_radii, 0.9)
