@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -74,7 +75,8 @@ class GrowthState(NamedTuple):
     d_start: jax.Array     # d at the current mode's entry (fixed per mode)
     faz_radius: jax.Array  # per-sim sampled FAZ radius (sim units)
     key: jax.Array
-    sat: jax.Array         # bool: an iteration hit the emission-window cap
+    sat: jax.Array         # int32 bitmask: 1 = emission/append window hit,
+    #                        2 = sink-capacity hit (driver redoes the segment)
 
 
 class StackedState(NamedTuple):
@@ -337,9 +339,12 @@ def _append_sinks(sinks: SinkState, pos, accept, max_append=2048):
     the budget is index count: compact the (few) accepted candidates and the
     free slots they go to with two ``compare_all`` prefix-sum inversions
     (branchless [K, n] compare+sum — no serial scan), then scatter only
-    ``max_append`` rows. Returns (state, sat); ``sat`` trips the caller's
-    segment-redo staging when an iteration accepts more than the window.
-    """
+    ``max_append`` rows. Returns (state, sat_window, sat_capacity):
+    ``sat_window`` trips the caller's segment redo with a doubled append
+    window; ``sat_capacity`` trips a redo with a larger sink array (the
+    reference's sink list is unbounded, ``greenhouse.py:319-341`` — staged
+    capacity keeps results identical to an unbounded run as long as the
+    driver re-runs saturated segments)."""
     sc = sinks.pos.shape[0]
     sq = pos.shape[0]
     k = min(max_append, sq)
@@ -365,7 +370,7 @@ def _append_sinks(sinks: SinkState, pos, accept, max_append=2048):
     # index sc, which would violate the uniqueness contract
     posal = posal.at[tgt].set(upd, mode="drop")
     return (SinkState(posal[:, :3], posal[:, 3] > 0.5),
-            n_acc > k)
+            n_acc > k, jnp.minimum(n_acc, k) > n_free)
 
 
 # ---------------------------------------------------------------------------
@@ -774,18 +779,23 @@ def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
     acc0 = jnp.concatenate([jnp.zeros((sc,), bool),
                             accept & ~satisfied[0, sc:]])
     props = jnp.stack([view_pos[0], view_pos[0]])
-    newS, sat_app = jax.vmap(
+    # append window doubles with the emission cap from 2048 so the first
+    # ecap doubling already enlarges it (a redo with an unchanged window
+    # would re-saturate on the same iteration)
+    newS, sat_win, sat_cap = jax.vmap(
         lambda b, p, a: _append_sinks(
-            b, p, a, max_append=max(2048, new_cap)))(
+            b, p, a, max_append=max(2048, 2 * new_cap)))(
                 base, props, jnp.stack([acc0, to_co2]))
 
     # --- 6. simulation space expansion ---
     sigma = state.sigma_t + mp.delta_sigma
     d_cur = jnp.maximum(d_start / sigma, 0.04 / param_scale)
 
+    sat_bits = ((jnp.any(sat) | jnp.any(sat_win)).astype(jnp.int32)
+                + 2 * jnp.any(sat_cap).astype(jnp.int32))
     return StackedState(newF, newS, sigma, d_cur, state.d_start,
                         state.faz_radius, key,
-                        state.sat | jnp.any(sat) | jnp.any(sat_app))
+                        state.sat | sat_bits)
 
 
 def run_mode(state: GrowthState, mp: ModeParams, t0: int, *, param_scale,
@@ -894,7 +904,7 @@ class Greenhouse:
     ``batch`` independent samples in one vmapped, jit-compiled program."""
 
     def __init__(self, config: dict, node_capacity: int = 16384,
-                 sink_capacity: int = 8192, seed: int = 0,
+                 sink_capacity: int = 16384, seed: int = 0,
                  chunk: int = 1024):
         self.config = config
         self.param_scale = config["param_scale"]
@@ -943,7 +953,8 @@ class Greenhouse:
         ]
 
     def init_state(self, forest_config: dict, rng_seed: int,
-                   node_capacity: int | None = None) -> GrowthState:
+                   node_capacity: int | None = None,
+                   sink_capacity: int | None = None) -> GrowthState:
         rng = np.random.default_rng(rng_seed)
         if forest_config.get("type", "stumps") != "stumps":
             raise NotImplementedError(
@@ -954,14 +965,14 @@ class Greenhouse:
                                  self.d, self.r, self.sizes, cap)
         ven = init_forest_stumps(rng, forest_config["N_trees"], walls,
                                  self.d, self.r, self.sizes, cap)
-        sc = self.sink_capacity
+        sc = sink_capacity or self.sink_capacity
         empty = SinkState(jnp.zeros((sc, 3), jnp.float32),
                           jnp.zeros((sc,), bool))
         faz_r = rng.normal(self.faz_bound[0], self.faz_bound[1])
         return GrowthState(
             art, ven, empty, empty, jnp.float32(1.0), jnp.float32(self.d),
             jnp.float32(self.d), jnp.float32(max(faz_r, 0.0)),
-            jax.random.PRNGKey(rng_seed), jnp.asarray(False))
+            jax.random.PRNGKey(rng_seed), jnp.int32(0))
 
     #: iterations per capacity-staging segment
     SEG_LEN = 50
@@ -979,7 +990,8 @@ class Greenhouse:
         cap0 = _pow2ceil(max(
             1024, 4 * forest_config.get("N_trees", 8) + 64 * self.SEG_LEN))
         states = [self.init_state(forest_config, self.seed + i,
-                                  node_capacity=min(cap0, self.node_capacity))
+                                  node_capacity=min(cap0, self.node_capacity),
+                                  sink_capacity=min(2048, self.sink_capacity))
                   for i in range(batch)]
         state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
@@ -990,11 +1002,15 @@ class Greenhouse:
                 segments.append((mi, t0, i0, min(self.SEG_LEN, mp.I - i0)))
             t0 += mp.I
         all_stats = []
-        slope = 64.0  # nodes/iteration forecast, refined per segment
-        ecap = 1024   # per-iteration emission-window cap (staged like NC)
+        slope = 64.0    # nodes/iteration forecast, refined per segment
+        s_slope = 48.0  # alive-sinks/iteration forecast, refined per segment
+        ecap = 1024     # per-iteration emission-window cap (staged like NC)
         n_now = float(np.asarray(
             jnp.maximum(state.art.n_nodes, state.ven.n_nodes)).max())
+        s_now = float(np.asarray(jnp.sum(state.oxy.alive, -1)
+                                 + jnp.sum(state.co2.alive, -1)).max())
         for mi, t0, i0, seg_len in segments:
+            redos = 0
             while True:
                 # 2048-granular capacities (not pow2: the distance scans,
                 # Murray sweeps and segment sums all scale with capacity, and
@@ -1003,15 +1019,36 @@ class Greenhouse:
                 cap = int(n_now + slope * seg_len * 1.8) + 64
                 cap = _pow2ceil(cap) if cap <= 2048 else -(-cap // 2048) * 2048
                 cap = min(max(cap, 1024), self.node_capacity)
-                seg_state = _resize_forests(state, cap)
+                # sink capacity staged the same way (the reference's sink
+                # list is unbounded, ``greenhouse.py:319-341``): the nearest
+                # scans, segment sums and gathers all scale with the query
+                # row count sc + n_cand, and a fixed full-size array pays the
+                # late-DVC cost from iteration 0
+                scap = int(s_now + s_slope * seg_len * 1.8) + 256
+                scap = (_pow2ceil(scap) if scap <= 2048
+                        else -(-scap // 2048) * 2048)
+                scap = min(max(scap, 1024), self.sink_capacity)
+                seg_state = _resize_sinks(_resize_forests(state, cap), scap)
                 fn = self._jitted_segment(
                     mi, t0, i0, seg_len, cap, murray_sweeps, collect_stats,
-                    ecap)
+                    ecap, scap)
                 out = jax.block_until_ready(fn(seg_state))
                 new_state, stats = out if collect_stats else (out, None)
-                if bool(np.asarray(new_state.sat).any()):
+                sat = int(np.bitwise_or.reduce(np.asarray(new_state.sat)))
+                redos += 1
+                if redos > 16:
+                    raise RuntimeError(
+                        "develop_forest: capacity-staging redo did not "
+                        f"converge (sat={sat}, ecap={ecap}, scap={scap}, "
+                        f"cap={cap}) — raise node_capacity/sink_capacity")
+                if (sat & 1) and ecap < self.node_capacity:
                     # emission/append window overflowed: redo, bigger
                     ecap = min(ecap * 2, self.node_capacity)
+                    continue
+                if (sat & 2) and scap < self.sink_capacity:
+                    # sink array saturated: redo with a larger forecast
+                    s_slope = max(s_slope * 2.0, 2.0 * (scap - s_now)
+                                  / max(seg_len, 1))
                     continue
                 n_after = float(np.asarray(jnp.maximum(
                     new_state.art.n_nodes, new_state.ven.n_nodes)).max())
@@ -1021,7 +1058,15 @@ class Greenhouse:
                 break
             slope = max(24.0, (n_after - n_now) / seg_len)
             n_now = n_after
+            s_after = float(np.asarray(
+                jnp.sum(new_state.oxy.alive, -1)
+                + jnp.sum(new_state.co2.alive, -1)).max())
+            s_slope = max(16.0, (s_after - s_now) / seg_len)
+            s_now = s_after
             state = new_state
+            if _os.environ.get("OCTA_TPU_STAGE_DEBUG"):
+                print(f"[stage] mode {mi} i0 {i0}: cap={cap} scap={scap} "
+                      f"ecap={ecap} nodes={n_after:.0f} alive={s_after:.0f}")
             if collect_stats:
                 all_stats.append(stats)
         if collect_stats:
@@ -1030,7 +1075,7 @@ class Greenhouse:
 
     def _jitted_segment(self, mode_idx: int, t0: int, i0: int, seg_len: int,
                         cap: int, murray_sweeps: int, collect_stats: bool,
-                        new_cap: int = 1024):
+                        new_cap: int = 1024, sink_cap: int | None = None):
         """Cache jitted segment programs. A fresh ``jax.jit`` wrapper per
         call would re-trace AND re-compile every ``develop_forest`` — pure
         waste, and repeated remote compiles are the main source of tunnel
@@ -1038,7 +1083,7 @@ class Greenhouse:
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
         key = (mode_idx, t0, i0, seg_len, cap, murray_sweeps, collect_stats,
-               new_cap)
+               new_cap, sink_cap)
         if key not in self._jit_cache:
             mp = self.modes[mode_idx]
 
@@ -1132,6 +1177,23 @@ def _resize_forests(state: GrowthState, cap: int) -> GrowthState:
         )
 
     return state._replace(art=grow(state.art), ven=grow(state.ven))
+
+
+def _resize_sinks(state: GrowthState, cap: int) -> GrowthState:
+    """Pad both (batched) sink arrays up to capacity ``cap`` (never shrinks
+    — shrinking could drop alive sinks; padded slots are dead = free)."""
+    cur = state.oxy.pos.shape[-2]
+    if cap <= cur:
+        return state
+    extra = cap - cur
+
+    def grow(s: SinkState) -> SinkState:
+        pad2 = [(0, 0)] * (s.pos.ndim - 2) + [(0, extra), (0, 0)]
+        pad1 = [(0, 0)] * (s.alive.ndim - 1) + [(0, extra)]
+        return SinkState(pos=jnp.pad(s.pos, pad2),
+                         alive=jnp.pad(s.alive, pad1))
+
+    return state._replace(oxy=grow(state.oxy), co2=grow(state.co2))
 
 
 def forest_edges_device(f: ForestState):

@@ -53,10 +53,11 @@ def test_append_sinks_matches_sequential_fill():
         accept = rng.random(sq) < 0.3
         pos = rng.random((sq, 3)).astype(np.float32)
 
-        state, sat = gh._append_sinks(
+        state, sat_win, sat_cap = gh._append_sinks(
             gh.SinkState(jnp.zeros((sc, 3), jnp.float32), jnp.asarray(alive)),
             jnp.asarray(pos), jnp.asarray(accept), max_append=sq)
-        assert not bool(sat)
+        assert not bool(sat_win)
+        assert bool(sat_cap) == (int(accept.sum()) > int((~alive).sum()))
 
         # oracle: accepted candidates fill free slots in index order
         exp_pos = np.zeros((sc, 3), np.float32)
@@ -72,9 +73,24 @@ def test_append_sinks_matches_sequential_fill():
 
 def test_append_sinks_overflow_sets_sat():
     sc, sq = 16, 32
-    state, sat = gh._append_sinks(
+    state, sat_win, sat_cap = gh._append_sinks(
         gh.SinkState(jnp.zeros((sc, 3), jnp.float32),
                      jnp.zeros((sc,), bool)),
         jnp.ones((sq, 3), jnp.float32), jnp.ones((sq,), bool), max_append=8)
-    assert bool(sat)
+    assert bool(sat_win)
+    assert not bool(sat_cap)  # the 8-row window fits the 16 free slots
     assert int(jnp.sum(state.alive)) == 8  # the window that did fit
+
+
+def test_append_sinks_capacity_saturation_sets_sat_cap():
+    # more accepted candidates than free slots (window is big enough):
+    # sat_capacity must fire so the driver re-runs with a larger sink array
+    sc, sq = 8, 32
+    alive = jnp.asarray([True] * 6 + [False] * 2)
+    state, sat_win, sat_cap = gh._append_sinks(
+        gh.SinkState(jnp.zeros((sc, 3), jnp.float32), alive),
+        jnp.ones((sq, 3), jnp.float32),
+        jnp.asarray([True] * 5 + [False] * (sq - 5)), max_append=sq)
+    assert not bool(sat_win)
+    assert bool(sat_cap)
+    assert int(jnp.sum(state.alive)) == sc  # filled to capacity
