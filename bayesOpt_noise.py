@@ -18,6 +18,9 @@ if __name__ == "__main__":
     parser.add_argument("--config_file", type=str, required=True)
     parser.add_argument("--num_samples", type=int, default=32)
     parser.add_argument("--epochs_per_trial", type=int, default=2)
+    parser.add_argument("--max_budget", type=int, default=9,
+                        help="successive-halving max budget multiplier "
+                             "(epochs = budget * epochs_per_trial)")
     args, unknown = parser.parse_known_args()
 
     base = load_config(args.config_file)
@@ -26,7 +29,7 @@ if __name__ == "__main__":
 
     from octa_tpu.train.engine import train
     from octa_tpu.utils.enums import Phase
-    from octa_tpu.utils.hpo import Choice, tune
+    from octa_tpu.utils.hpo import Choice, tune_sha
 
     def _inject(config, params):
         for aug in config[Phase.TRAIN]["data_augmentation"]:
@@ -36,33 +39,49 @@ if __name__ == "__main__":
             if aug["name"] == "RandomDecreaseResolutiond":
                 aug["max_factor"] = params["max_decrease_res"]
 
-    def eval_fn(params):
+    trial_counter = [0]
+
+    def eval_fn(params, budget, state):
+        """One successive-halving rung: train to ``budget *
+        epochs_per_trial`` epochs, resuming from the previous rung's
+        checkpoints when promoted (reference: BOHB early-stops bad trials
+        the same way, ``utils/bayesOpt.py:76-115``)."""
+        import csv
+        import os
+
         config = copy.deepcopy(base)
         _inject(config, params)
-        config[Phase.TRAIN]["epochs"] = args.epochs_per_trial
+        epochs = budget * args.epochs_per_trial
+        config[Phase.TRAIN]["epochs"] = epochs
         config["Output"]["save_to_disk"] = True
+        if state is None:
+            trial_counter[0] += 1
+            trial_dir = os.path.join(
+                base["Output"]["save_dir"], f"trial_{trial_counter[0]}")
+        else:
+            trial_dir = state["trial_dir"]
+        config["Output"]["save_dir"] = trial_dir
 
         class A:
-            start_epoch = 0
+            start_epoch = 0 if state is None else state["epochs_done"]
             epoch = "latest"
             split = ""
             save_latest = True
             num_workers = 0
 
         out_dir = train(A(), config)
-        import csv
-        import os
-
         with open(os.path.join(out_dir, "metrics.csv")) as f:
             rows = list(csv.DictReader(f))
-        return {"Validation_DSC": float(rows[-1].get("Validation_DSC", 0))}
+        return {"Validation_DSC": float(rows[-1].get("Validation_DSC", 0)),
+                "trial_dir": trial_dir, "epochs_done": epochs}
 
     space = {
         "lambda_speckle": Choice(list(np.arange(0.3, 0.71, 0.1))),
         "lambda_delta": Choice(list(np.arange(0.5, 1.1, 0.1))),
         "max_decrease_res": Choice(list(np.arange(0.3, 1.1, 0.1))),
     }
-    best_params, best_result, _ = tune(
+    best_params, best_result, _ = tune_sha(
         space, eval_fn, metric="Validation_DSC", mode="max",
-        num_samples=args.num_samples)
+        num_samples=args.num_samples, min_budget=1,
+        max_budget=args.max_budget, reduction_factor=3)
     print("Best trial:", best_params, best_result)

@@ -777,6 +777,17 @@ def get_data_augmentations(aug_config, seed: int, dtype=np.float32,
     for entry in aug_config:
         entry = dict(entry)
         name = entry.pop("name")
+        if name not in TRANSFORM_REGISTRY:
+            # The reference falls through to all of monai.transforms via
+            # globals() (``data_transforms.py:11,594``); this rebuild
+            # implements the names the shipped config corpus uses. Fail
+            # loudly instead of at first use.
+            raise KeyError(
+                f"transform '{name}' is not implemented in octa_tpu. "
+                "Supported transforms: "
+                + ", ".join(sorted(TRANSFORM_REGISTRY)) + ". "
+                "(The reference additionally dispatches arbitrary "
+                "monai.transforms names; see README 'Transform coverage'.)")
         cls = TRANSFORM_REGISTRY[name]
         if name.startswith("CastToType"):
             dts = entry.get("dtype", "float32")

@@ -67,6 +67,23 @@ def dynunet_spatial_infer(model, variables, x, mesh: Mesh,
     76 -> 38 per shard). Matches the unsharded forward to float
     reduction-order tolerance.
     """
+    # Enforce the precondition instead of silently returning misaligned
+    # outputs: every stride-2 stage must see an even per-shard height.
+    n_space = dict(zip(mesh.axis_names, mesh.devices.shape))[space_axis]
+    H = x.shape[1]
+    if H % n_space:
+        raise ValueError(
+            f"spatial sharding: H={H} not divisible by n_space={n_space}")
+    h = H // n_space
+    for si, s in enumerate(getattr(model, "strides", [])):
+        stride = s[0] if isinstance(s, (list, tuple)) else s
+        if stride == 2:
+            if h % 2:
+                raise ValueError(
+                    f"spatial sharding: per-shard height {h} is odd at "
+                    f"stride-2 stage {si} (H={H}, n_space={n_space}); H "
+                    f"must be divisible by n_space * 2^n_downsamples")
+            h //= 2
     smodel = model.clone(axis_name=space_axis, s2d_threshold=1 << 30)
 
     @jax.jit

@@ -92,3 +92,64 @@ def tune(space: dict[str, Any],
                 print(f"[hpo {i + 1}/{num_samples}] new best "
                       f"{metric}={result[metric]:.4f} @ {params}")
     return best_params, best_result, history
+
+
+def tune_sha(space: dict[str, Any],
+             eval_fn: Callable[..., dict[str, float]],
+             metric: str,
+             mode: str = "max",
+             num_samples: int = 27,
+             min_budget: int = 1,
+             max_budget: int = 9,
+             reduction_factor: int = 3,
+             seed: int = 0,
+             verbose: bool = True):
+    """Successive-halving bracket (the HyperBand core of the reference's
+    Ray Tune + ``TuneBOHB`` setup, ``utils/bayesOpt.py:76-115``): every
+    trial is evaluated at ``min_budget``; only the top
+    ``1/reduction_factor`` fraction advances to the next rung with
+    ``reduction_factor``× the budget, until ``max_budget`` — so bad
+    configurations are stopped early instead of consuming a full-budget
+    training.
+
+    ``eval_fn(params, budget, state) -> result`` where ``state`` is the
+    previous rung's result for this trial (``None`` on the first rung) —
+    the callee can use it to resume a checkpointed training instead of
+    restarting. ``result`` must contain ``metric``.
+
+    Returns (best_params, best_result, history); history entries are
+    (params, budget, result)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    sign = 1.0 if mode == "max" else -1.0
+
+    rungs = [min_budget]
+    while rungs[-1] * reduction_factor <= max_budget:
+        rungs.append(rungs[-1] * reduction_factor)
+
+    trials = [{"params": {k: s.sample(rng) for k, s in space.items()},
+               "state": None, "score": -math.inf, "result": None}
+              for _ in range(num_samples)]
+    history: list[tuple[dict, int, dict]] = []
+    alive = list(trials)
+    for ri, budget in enumerate(rungs):
+        for t in alive:
+            result = eval_fn(t["params"], budget, t["state"])
+            t["state"] = result
+            t["result"] = result
+            t["score"] = sign * result[metric]
+            history.append((dict(t["params"]), budget, result))
+        alive.sort(key=lambda t: -t["score"])
+        if ri < len(rungs) - 1:
+            keep = max(1, len(alive) // reduction_factor)
+            if verbose:
+                print(f"[sha rung {ri} budget={budget}] "
+                      f"{len(alive)} trials -> promoting {keep} "
+                      f"(best {metric}="
+                      f"{sign * alive[0]['score']:.4f})")
+            alive = alive[:keep]
+    # report the best among the trials that reached the final rung (scores
+    # across different budgets are not comparable)
+    best = max(alive, key=lambda t: t["score"])
+    return best["params"], best["result"], history

@@ -95,3 +95,31 @@ def test_hpo_harness_finds_optimum():
                               num_samples=60, verbose=False)
     assert abs(best["x"] - 0.3) < 0.05
     assert len(hist) == 60
+
+
+def test_hpo_successive_halving_truncates_bad_trials():
+    """ASHA/HyperBand role of the reference's TuneBOHB
+    (``utils/bayesOpt.py:76-115``): bad configs must be stopped at the
+    first rung instead of consuming the full budget."""
+    from octa_tpu.utils.hpo import Uniform, tune_sha
+
+    budgets_seen = []
+
+    def eval_fn(p, budget, state):
+        budgets_seen.append(budget)
+        # score improves with budget; resumable state must thread through
+        assert state is None or state["b"] < budget
+        return {"score": -(p["x"] - 0.3) ** 2 * (1.0 + 1.0 / budget),
+                "b": budget}
+
+    best, result, hist = tune_sha(
+        {"x": Uniform(0, 1)}, eval_fn, "score", num_samples=27,
+        min_budget=1, max_budget=9, reduction_factor=3, verbose=False)
+    # rungs: 27 trials at budget 1, 9 at 3, 3 at 9
+    assert budgets_seen.count(1) == 27
+    assert budgets_seen.count(3) == 9
+    assert budgets_seen.count(9) == 3
+    assert len(hist) == 27 + 9 + 3
+    # the survivor pool must contain the near-optimal configs
+    assert abs(best["x"] - 0.3) < 0.2
+    assert result["b"] == 9  # best came from a fully-trained trial

@@ -154,3 +154,19 @@ def test_split_file(tmp_path):
     cfg["Train"]["data"]["label"]["split"] = str(split)
     loader = get_dataset(cfg, Phase.TRAIN)
     assert len(loader.dataset) == 3
+
+
+def test_unsupported_transform_fails_with_clear_message():
+    """The reference dispatches all of monai.transforms via globals()
+    (``data_transforms.py:587-611``); this rebuild covers the config corpus
+    and must fail loudly (not at first use) for anything else."""
+    import pytest
+
+    from octa_tpu.data.transforms import get_data_augmentations
+
+    with pytest.raises(KeyError) as ei:
+        get_data_augmentations(
+            [{"name": "RandGaussianSharpend", "keys": ["image"]}], seed=0)
+    msg = str(ei.value)
+    assert "RandGaussianSharpend" in msg and "not implemented" in msg
+    assert "LoadImaged" in msg  # lists the supported set

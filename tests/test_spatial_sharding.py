@@ -54,3 +54,24 @@ def test_sharded_dynunet_matches_unsharded(model_and_vars, n_data, n_space):
     out = dynunet_spatial_infer(model, variables, x, mesh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_spatial_infer_rejects_odd_shard_heights():
+    """ADVICE r1: a violating call must error, not return misaligned
+    output (H % n_space == 0 but a stride-2 stage would see an odd
+    per-shard height)."""
+    import pytest
+
+    from octa_tpu.models.dynunet import DynUNet
+    from octa_tpu.parallel.spatial import dynunet_spatial_infer, spatial_mesh
+
+    net = DynUNet(spatial_dims=2, in_channels=1, out_channels=1,
+                  kernel_size=[3] * 5, strides=[1, 2, 2, 2, 1],
+                  upsample_kernel_size=[1, 2, 2, 2, 1],
+                  filters=[4, 8, 8, 16, 16])
+    # H=104, n_space=4 -> shard 26 -> 13 after one stride-2: invalid
+    x = jnp.zeros((2, 104, 64, 1), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x[:1, :16])
+    mesh = spatial_mesh(n_data=2, n_space=4)
+    with pytest.raises(ValueError, match="odd at stride-2"):
+        dynunet_spatial_infer(net, variables, x, mesh)
