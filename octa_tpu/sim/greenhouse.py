@@ -614,10 +614,30 @@ def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
                              n_children, is_root, n_nodes)
 
     # ---- Murray radius sweeps (optimize_edge_radius_to_root) ----
-    # Scatter-add over the parent pointers. Measured alternatives at 16k
-    # capacity: this costs ~9 ms/sweep; a gather form through per-node child
-    # pointers costs ~26 ms/sweep (TPU gathers are also serial per index,
-    # and it needs 2 gathers per sweep) — scatter wins here.
+    new_forest = murray_sweep(new_forest, kappa, murray_sweeps)
+
+    return new_forest, sat
+
+
+def murray_sweep(forest: ForestState, kappa, sweeps: int) -> ForestState:
+    """``sweeps`` parallel Murray-law radius relaxation sweeps
+    (``arterial_tree.py:174-184``): each sweep recomputes every internal
+    node's radius from its children, r_p = (sum r_c^kappa)^(1/kappa),
+    propagating changes one level root-ward per sweep.
+
+    Scatter-add over the parent pointers. Measured alternatives at 16k
+    capacity: this costs ~9 ms/sweep; a gather form through per-node child
+    pointers costs ~26 ms/sweep (TPU gathers are also serial per index,
+    and it needs 2 gathers per sweep) — scatter wins here.
+
+    The radii have a UNIQUE fixed point given the tree (leaf radii are
+    pinned at r), so a deep final sweep after growth recovers the exact
+    converged radii regardless of how much in-loop sweeping lagged; in-loop
+    sweeps only matter through the growth decisions (child radius in the
+    Murray angle checks, trunk radii in the oxygen-distance candidate
+    rejection), which the statistical parity tests gate."""
+    nc = forest.pos.shape[-2]
+
     def murray(i, f: ForestState):
         exists = jnp.arange(nc) < f.n_nodes
         rk = jnp.where(exists, f.radius**kappa, 0.0)
@@ -628,9 +648,7 @@ def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
                           child_sum ** (1.0 / kappa), f.radius)
         return f._replace(radius=new_r)
 
-    new_forest = jax.lax.fori_loop(0, murray_sweeps, murray, new_forest)
-
-    return new_forest, sat
+    return jax.lax.fori_loop(0, sweeps, murray, forest)
 
 
 # ---------------------------------------------------------------------------
@@ -978,7 +996,8 @@ class Greenhouse:
     SEG_LEN = 50
 
     def develop_forest(self, forest_config: dict, batch: int = 1,
-                       murray_sweeps: int = 8, collect_stats: bool = False):
+                       murray_sweeps: int = 4, collect_stats: bool = False,
+                       final_murray_sweeps: int = 256):
         """Grow ``batch`` samples with **capacity staging**: the growth loop's
         dominant cost is distance computation against the node array, which
         scales with the static capacity, not the live node count. The run is
@@ -986,7 +1005,15 @@ class Greenhouse:
         arrays are padded to a capacity forecast from the observed growth
         rate (one tiny host sync per segment), and a saturated segment is
         transparently re-run at doubled capacity, so results are identical
-        to a fixed-capacity run that never saturates."""
+        to a fixed-capacity run that never saturates.
+
+        ``murray_sweeps`` Murray radius sweeps run per growth iteration
+        (propagating radius changes that many tree levels root-ward per
+        iteration); ``final_murray_sweeps`` deep sweeps run ONCE at the end,
+        converging the radii to their exact fixed point for the final tree
+        — so the output radii are exact regardless of in-loop sweep lag
+        (~9 ms/sweep at 16k capacity makes per-iteration deep sweeps the
+        single most expensive part of the loop)."""
         cap0 = _pow2ceil(max(
             1024, 4 * forest_config.get("N_trees", 8) + 64 * self.SEG_LEN))
         states = [self.init_state(forest_config, self.seed + i,
@@ -1069,9 +1096,28 @@ class Greenhouse:
                       f"ecap={ecap} nodes={n_after:.0f} alive={s_after:.0f}")
             if collect_stats:
                 all_stats.append(stats)
+        if final_murray_sweeps:
+            state = self._final_murray(state, final_murray_sweeps)
         if collect_stats:
             return state, jnp.concatenate(all_stats, axis=1)
         return state
+
+    def _final_murray(self, state: GrowthState, sweeps: int) -> GrowthState:
+        """Converge both forests' radii to the exact Murray fixed point of
+        the final trees (last mode's kappa, matching the in-loop recompute
+        semantics). One deep vmapped sweep per develop_forest — amortized
+        over the batch it is ~2 orders of magnitude cheaper than keeping
+        per-iteration sweeps deep."""
+        kappa = self.modes[-1].kappa
+        cap = state.art.pos.shape[-2]
+        key = ("final_murray", cap, sweeps)
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(jax.vmap(
+                lambda f: murray_sweep(f, kappa, sweeps)))
+        fn = self._jit_cache[key]
+        return state._replace(art=fn(state.art), ven=fn(state.ven))
 
     def _jitted_segment(self, mode_idx: int, t0: int, i0: int, seg_len: int,
                         cap: int, murray_sweeps: int, collect_stats: bool,
