@@ -160,10 +160,13 @@ def main(scope: str = "e2e"):
         import sys as _sys
 
         run_all(0)  # warmup: compiles growth + pipeline
-        # best-of-2: the tunneled TPU is shared and contention skews single
-        # timings by up to 5x (CLAUDE.md); the min is the honest capability
+        # best-of-3: the tunneled TPU is shared and contention skews single
+        # timings by up to 5x (CLAUDE.md); the min is the honest capability.
+        # Reps reuse seeds {1,2} so the capacity-staged growth programs are
+        # exactly the warm-compiled ones — a novel seed can stage novel
+        # capacities and pay a remote compile inside the timed region.
         dts = []
-        for rep in (1, 2):
+        for rep in (1, 2, 1):
             t0 = time.perf_counter()
             run_all(rep)
             dts.append(time.perf_counter() - t0)
@@ -199,12 +202,75 @@ def main(scope: str = "e2e"):
         dt = time.perf_counter() - t0
         metric = "adapt_segment_1216px_images_per_sec_per_chip"
 
+    # Accuracy rider (untimed): with trained segmentor weights available,
+    # segment clean splatted synthetics and report Dice vs the splatted
+    # labels — so perf work cannot silently break outputs while keeping
+    # shapes (random-weight throughput alone would pass). Auto-discovers
+    # the recipe run's best checkpoint; override via OCTA_TPU_BENCH_CKPT.
+    dice = None
+    try:
+        import glob as _glob
+        import os as _os
+
+        ckpts = sorted(
+            _glob.glob("results/recipe_seg_supervised/*/checkpoints/"
+                       "best_model_model.ckpt")
+            + _glob.glob("results/recipe_seg_supervised/*/checkpoints/"
+                         "best_segmentor_model.ckpt"))
+        ckpt = _os.environ.get("OCTA_TPU_BENCH_CKPT") or (
+            ckpts[-1] if ckpts else None)
+        if ckpt:
+            from octa_tpu.io.checkpoints import load_checkpoint, restore_like
+            from octa_tpu.ops import raster
+
+            loaded = load_checkpoint(ckpt)["model"]
+            seg_f32 = DynUNet(
+                spatial_dims=2, in_channels=1, out_channels=1,
+                kernel_size=[3] * 5, strides=[1, 2, 2, 2, 1],
+                upsample_kernel_size=[1, 2, 2, 2, 1], remat=True)
+            sv_t = seg_f32.init(jax.random.PRNGKey(1),
+                                jnp.zeros((1, 64, 64, 1)))
+            params = restore_like(sv_t["params"], loaded)
+            paths = sorted(
+                _glob.glob("datasets/vessel_graphs/*.csv"))[:8]
+            samples = [raster.parse_graph_csv(p) for p in paths]
+            prep = _pad_batch_edges(samples, RES_IN, RES_LAB)
+            (ai, bi, wi, vi) = [jnp.asarray(x) for x in prep["in"]]
+            (al, bl, wl, vl) = [jnp.asarray(x) for x in prep["lab"]]
+
+            @jax.jit
+            def dice_pass(ai, bi, wi, vi, al, bl, wl, vl):
+                img = splat2d(ai, bi, wi, vi, RES_IN, 4096)
+                lab = (splat2d(al, bl, wl, vl, RES_LAB, 512) > 0.1)
+                up = jax.image.resize(
+                    img[..., None] / jnp.maximum(
+                        jnp.max(img, axis=(1, 2), keepdims=True)[..., None],
+                        1e-6),
+                    (img.shape[0], RES_LAB, RES_LAB, 1), "linear")
+                pred = jax.nn.sigmoid(
+                    seg_f32.apply({"params": params}, up))[..., 0] > 0.5
+                inter = jnp.sum(pred & lab, axis=(1, 2))
+                return (2 * inter
+                        / jnp.maximum(jnp.sum(pred, (1, 2))
+                                      + jnp.sum(lab, (1, 2)), 1))
+
+            ds = []
+            for i in range(0, len(paths), BATCH):
+                s = slice(i, i + BATCH)
+                ds.append(dice_pass(ai[s], bi[s], wi[s], vi[s],
+                                    al[s], bl[s], wl[s], vl[s]))
+            dice = round(float(jnp.mean(jnp.concatenate(ds))), 4)
+    except Exception as e:
+        import sys as _sys
+        print(f"dice rider unavailable: {e!r}", file=_sys.stderr)
+
     imgs_per_sec = N_IMAGES / dt
     print(json.dumps({
         "metric": metric,
         "value": round(imgs_per_sec, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(imgs_per_sec / baseline, 3),
+        "dice": dice,
     }))
 
 
