@@ -158,7 +158,20 @@ def train(args, config: dict):
         msg = ", ".join(f"{k}={v:.4f}" for k, v in
                         list(epoch_metrics["loss"].items())[:4])
         print(f"[epoch {epoch + 1}/{max_epochs}] {msg} "
-              f"({time.time() - t_ep:.1f}s)")
+              f"({time.time() - t_ep:.1f}s)", flush=True)
+
+        # Bounded-lifetime training: exit cleanly after N epochs so an
+        # external launcher can restart the process and resume. The axon
+        # TPU client leaks host memory per transfer (~11 GB/epoch at batch
+        # 4, 1216² — an 11-epoch run OOM-killed a 125 GB host), and a clean
+        # exit at an epoch boundary avoids the wedged-tunnel state that
+        # mid-run kills cause.
+        per_run = int(getattr(args, "epochs_per_run", 0) or 0)
+        if per_run and (epoch + 1 - getattr(args, "start_epoch", 0)) >= per_run \
+                and (epoch + 1) < max_epochs:
+            print(f"epochs_per_run={per_run} reached at epoch {epoch + 1}; "
+                  "exiting for clean resume.", flush=True)
+            break
 
     total = time.time() - total_start
     print(f"Finished training after {datetime.timedelta(seconds=total)}.")

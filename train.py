@@ -20,6 +20,11 @@ if __name__ == "__main__":
     parser.add_argument("--save_latest", type=bool, default=True)
     parser.add_argument("--num_workers", type=int, default=None)
     parser.add_argument(
+        "--epochs_per_run", type=int, default=0,
+        help="exit cleanly after this many epochs (0 = unlimited) so a "
+             "launcher can restart the process and resume — bounds the "
+             "axon client's per-transfer host-memory leak")
+    parser.add_argument(
         "--profile", action="store_true",
         help="capture a jax.profiler trace of the first epochs into the run "
              "dir (view with TensorBoard or xprof)")
