@@ -139,9 +139,15 @@ def main(scope: str = "e2e"):
         return batches
 
     def run_all(seed):
+        import sys as _sys
         outs = []
         step = 0
-        for (a, b, w, v) in grow(seed, N_IMAGES):
+        t_g0 = time.perf_counter()
+        batches = grow(seed, N_IMAGES)
+        jax.block_until_ready([t[0] for t in batches])
+        print(f"  grow+extract: {time.perf_counter() - t_g0:.1f}s",
+              file=_sys.stderr)
+        for (a, b, w, v) in batches:
             # ceil-chunk so fault-halved growth batches still segment every
             # sample (the final chunk pads by wrapping; metric honesty:
             # padded lanes are recomputed samples, not skipped ones)
@@ -166,7 +172,7 @@ def main(scope: str = "e2e"):
         # exactly the warm-compiled ones — a novel seed can stage novel
         # capacities and pay a remote compile inside the timed region.
         dts = []
-        for rep in (1, 2, 1):
+        for rep in (1, 2, 1, 2):
             t0 = time.perf_counter()
             run_all(rep)
             dts.append(time.perf_counter() - t0)
