@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from octa_tpu.ops.pallas_nearest import masked_nearest_pallas
+from octa_tpu.ops.pallas_segsum import segsum_onehot_pallas
 
 GEOMETRY_SIZE = 76
 
@@ -459,17 +460,24 @@ def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
     valid_sink = has_assign & jnp.where(
         node_is_leaf, leaf_ok, jnp.where(node_is_inter, inter_ok, False))
 
-    seg = jnp.where(valid_sink, aidx, nc)  # scatter target (nc = dropped)
+    seg = jnp.where(valid_sink, aidx, nc)  # target node (nc = dropped)
 
-    # six segment sums fused into ONE 18-feature scatter-add
+    # six segment sums fused into ONE 18-feature reduction
     sq = sink_pos.shape[0]
     feats = jnp.concatenate([
         jnp.ones((sq, 1)), att_dir, ang_prox[:, None],
         (ang_prox**2)[:, None], sink_pos,
         (sink_pos[:, :, None] * sink_pos[:, None, :]).reshape(sq, 9),
     ], axis=-1)                                                   # [Sq,18]
-    sums = jnp.zeros((nc + 1, 18), jnp.float32).at[seg].add(
-        jnp.where(valid_sink[:, None], feats, 0.0))[:nc]
+    if _use_pallas():
+        # one-hot MXU matmul: scatter costs ~45 ms/iter at this width on
+        # this backend (serial per-index); the kernel builds one-hot tiles
+        # in VMEM and contracts on the MXU (ops/pallas_segsum.py). The nc
+        # sentinel rows match no node id, so pre-masking feats is redundant.
+        sums = segsum_onehot_pallas(seg, feats, nc=nc)
+    else:
+        sums = jnp.zeros((nc + 1, 18), jnp.float32).at[seg].add(
+            jnp.where(valid_sink[:, None], feats, 0.0))[:nc]
     cnt = sums[:, 0]
     sum_dir = sums[:, 1:4]
     sum_ang = sums[:, 4]
