@@ -492,6 +492,16 @@ class GanSegAlgorithm(BaseAlgorithm):
         return self._apply("segmentor", params, up)
 
     def _build_steps(self):
+        if self.phase != Phase.TRAIN:
+            # inference (test.py/validate.py): no losses or optimizers exist;
+            # only the eval steps are needed (reference gan_seg_model.py
+            # inference dispatches by General.inference without them)
+            self._train_step = None
+            self._seg_eval = jax.jit(
+                lambda ps, image: self._segment(ps, image))
+            self._gen_eval = jax.jit(
+                lambda pg, image: self._apply("generator", pg, image))
+            return
         dg_loss, s_loss = self.dg_loss, self.s_loss
         tx_g, tx_d, tx_s = (self.opt["optimizer_G"], self.opt["optimizer_D"],
                             self.opt["optimizer_S"])

@@ -192,3 +192,54 @@ def test_gan_seg_training_step_updates_all_three():
     assert all(np.isfinite(v) for v in losses.values())
     for net in ("generator", "discriminator", "segmentor"):
         assert _params_changed(before[net], algo.params[net]), net
+
+
+def test_gan_seg_inference_phase_needs_no_losses_or_optimizers(tmp_path):
+    """test.py/validate.py construct GanSegAlgorithm without Train losses or
+    optimizers; _build_steps must still provide the eval steps (regression:
+    it referenced self.dg_loss / self.opt unconditionally)."""
+    from octa_tpu.io.checkpoints import save_checkpoint
+
+    cfg = _base_config({"loss_dg": "LSGANLoss", "loss_s": "DiceBCELoss"})
+    cfg["General"]["inference"] = "G"
+    cfg["Output"] = {"save_dir": str(tmp_path)}
+
+    # fabricate a generator checkpoint for the inference load path
+    train_algo = GanSegAlgorithm(
+        config=cfg, phase=Phase.TRAIN,
+        model_g={"name": "resnetGenerator9"},
+        model_d={"name": "patchGAN70x70"},
+        model_s={"name": "DynUNet", "spatial_dims": 2, "in_channels": 1,
+                 "out_channels": 1, "kernel_size": [3, 3, 3, 3, 3],
+                 "strides": [1, 2, 2, 2, 1],
+                 "upsample_kernel_size": [1, 2, 2, 2, 1]},
+        compute_identity=False, compute_identity_seg=True,
+        upshape=(RES, RES))
+    rng = np.random.default_rng(3)
+    batch = _batch(["real_A", "real_B", "real_A_seg"], rng)
+    train_algo.initialize_model_and_optimizer(dict(batch), cfg, Args(),
+                                              phase=Phase.TRAIN)
+    ckdir = tmp_path / "checkpoints"
+    ckdir.mkdir()
+    save_checkpoint(str(ckdir / "latest_generator_model.ckpt"),
+                    {"model": train_algo.params["generator"], "epoch": 1})
+
+    algo = GanSegAlgorithm(
+        config=cfg, phase=Phase.TEST,
+        model_g={"name": "resnetGenerator9"},
+        model_d={"name": "patchGAN70x70"},
+        model_s={"name": "DynUNet", "spatial_dims": 2, "in_channels": 1,
+                 "out_channels": 1, "kernel_size": [3, 3, 3, 3, 3],
+                 "strides": [1, 2, 2, 2, 1],
+                 "upsample_kernel_size": [1, 2, 2, 2, 1]},
+        compute_identity=False, compute_identity_seg=True,
+        upshape=(RES, RES))
+    algo.initialize_model_and_optimizer(dict(batch), cfg, Args(),
+                                        phase=Phase.TEST)
+    # test.py renames the first non-path input key to "image"
+    # (reference test.py:63-64,81)
+    batch["image"] = batch["real_A"]
+    outputs, losses = algo.inference(batch, _post())
+    assert losses == {}
+    pred = np.asarray(outputs["prediction"])
+    assert pred.ndim == 4 and np.isfinite(pred).all()
