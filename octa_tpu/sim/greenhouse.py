@@ -627,30 +627,46 @@ def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
     return new_forest, sat
 
 
-def murray_sweep(forest: ForestState, kappa, sweeps: int) -> ForestState:
+def murray_sweep(forest: ForestState, kappa, sweeps: int,
+                 exact: bool | None = None) -> ForestState:
     """``sweeps`` parallel Murray-law radius relaxation sweeps
     (``arterial_tree.py:174-184``): each sweep recomputes every internal
     node's radius from its children, r_p = (sum r_c^kappa)^(1/kappa),
     propagating changes one level root-ward per sweep.
 
-    Scatter-add over the parent pointers. Measured alternatives at 16k
-    capacity: this costs ~9 ms/sweep; a gather form through per-node child
-    pointers costs ~26 ms/sweep (TPU gathers are also serial per index,
-    and it needs 2 gathers per sweep) — scatter wins here.
+    The per-parent child sum is a 1-feature segment sum: on TPU the in-loop
+    sweeps route through the digit-decomposed one-hot MXU kernel
+    (``ops/pallas_segsum.py``), which replaces the serial per-index scatter.
+    ``exact=True`` (the final deep convergence sweep, and the CPU path)
+    keeps the exact f32 scatter-add; measured gather alternatives lose
+    (26 vs 9 ms/sweep at 16k capacity — gathers are serial per index too,
+    and need 2 per sweep).
 
     The radii have a UNIQUE fixed point given the tree (leaf radii are
-    pinned at r), so a deep final sweep after growth recovers the exact
-    converged radii regardless of how much in-loop sweeping lagged; in-loop
-    sweeps only matter through the growth decisions (child radius in the
-    Murray angle checks, trunk radii in the oxygen-distance candidate
-    rejection), which the statistical parity tests gate."""
+    pinned at r), so the exact deep final sweep after growth recovers the
+    converged radii regardless of how much in-loop sweeping lagged (or of
+    the kernel's ~1e-5 summation reordering); in-loop sweeps only matter
+    through the growth decisions (child radius in the Murray angle checks,
+    trunk radii in the oxygen-distance candidate rejection), which the
+    statistical parity tests gate."""
     nc = forest.pos.shape[-2]
+    # The kernel route is gated off by default until its effect inside the
+    # full scan-nested growth program is measured on hardware (the shared
+    # tunnel was down when it was wired up): flip with
+    # OCTA_TPU_MURRAY_KERNEL=1. Standalone, the F=1 kernel beats the
+    # scatter ~3x at growth shapes (see ops/pallas_segsum.py).
+    gate = _os.environ.get("OCTA_TPU_MURRAY_KERNEL", "0") == "1"
+    use_kernel = (_use_pallas() and gate) if exact is None else not exact
 
     def murray(i, f: ForestState):
         exists = jnp.arange(nc) < f.n_nodes
         rk = jnp.where(exists, f.radius**kappa, 0.0)
         par_t = jnp.where(exists & (f.parent >= 0), f.parent, nc)
-        child_sum = jnp.zeros((nc + 1,), jnp.float32).at[par_t].add(rk)[:nc]
+        if use_kernel:
+            child_sum = segsum_onehot_pallas(par_t, rk[:, None], nc=nc)[:, 0]
+        else:
+            child_sum = jnp.zeros((nc + 1,), jnp.float32).at[par_t].add(
+                rk)[:nc]
         is_internal = (f.n_children >= 1) & ~f.is_root & exists
         new_r = jnp.where(is_internal,
                           child_sum ** (1.0 / kappa), f.radius)
@@ -1123,7 +1139,7 @@ class Greenhouse:
             self._jit_cache = {}
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(jax.vmap(
-                lambda f: murray_sweep(f, kappa, sweeps)))
+                lambda f: murray_sweep(f, kappa, sweeps, exact=True)))
         fn = self._jit_cache[key]
         return state._replace(art=fn(state.art), ven=fn(state.ven))
 
