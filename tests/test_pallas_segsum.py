@@ -57,3 +57,14 @@ def test_sentinel_only_contributions_are_dropped():
     feats = jnp.ones((2048, 18), jnp.float32)
     got = segsum_onehot_pallas(seg, feats, nc=100, interpret=True)
     assert float(jnp.max(jnp.abs(got))) == 0.0
+
+
+def test_single_feature_murray_shape():
+    """murray_sweep routes child radius sums through the kernel with F=1."""
+    rng = np.random.default_rng(2)
+    sq = nc = 2048   # Murray: one entry per node, targets = parents
+    seg = jnp.asarray(rng.integers(0, nc + 1, sq), jnp.int32)
+    feats = jnp.asarray(rng.random((sq, 1)), jnp.float32)
+    got = segsum_onehot_pallas(seg, feats, nc=nc, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), _oracle(seg, feats, nc),
+                               rtol=1e-4, atol=1e-4)
