@@ -13,54 +13,48 @@ import numpy as np
 
 from octa_tpu.utils.config import apply_cli_overrides, load_config
 
-if __name__ == "__main__":
-    parser = argparse.ArgumentParser(description="")
-    parser.add_argument("--config_file", type=str, required=True)
-    parser.add_argument("--num_samples", type=int, default=32)
-    parser.add_argument("--epochs_per_trial", type=int, default=2)
-    parser.add_argument("--max_budget", type=int, default=9,
-                        help="successive-halving max budget multiplier "
-                             "(epochs = budget * epochs_per_trial)")
-    args, unknown = parser.parse_known_args()
 
-    base = load_config(args.config_file)
-    apply_cli_overrides(base, unknown)
-    base.setdefault("General", {}).setdefault("seed", 4958)
+def _inject(config, params):
+    from octa_tpu.utils.enums import Phase
+
+    for aug in config[Phase.TRAIN]["data_augmentation"]:
+        if aug["name"] == "NoiseModeld":
+            aug["lambda_speckle"] = params["lambda_speckle"]
+            aug["lambda_delta"] = params["lambda_delta"]
+        if aug["name"] == "RandomDecreaseResolutiond":
+            aug["max_factor"] = params["max_decrease_res"]
+
+
+def make_eval_fn(base: dict, epochs_per_trial: int):
+    """Build the successive-halving rung evaluator: train to ``budget *
+    epochs_per_trial`` epochs, resuming from the previous rung's run dir
+    when promoted (reference: BOHB early-stops bad trials the same way,
+    ``utils/bayesOpt.py:76-115``)."""
+    import csv
+    import os
 
     from octa_tpu.train.engine import train
     from octa_tpu.utils.enums import Phase
-    from octa_tpu.utils.hpo import Choice, tune_sha
-
-    def _inject(config, params):
-        for aug in config[Phase.TRAIN]["data_augmentation"]:
-            if aug["name"] == "NoiseModeld":
-                aug["lambda_speckle"] = params["lambda_speckle"]
-                aug["lambda_delta"] = params["lambda_delta"]
-            if aug["name"] == "RandomDecreaseResolutiond":
-                aug["max_factor"] = params["max_decrease_res"]
 
     trial_counter = [0]
 
     def eval_fn(params, budget, state):
-        """One successive-halving rung: train to ``budget *
-        epochs_per_trial`` epochs, resuming from the previous rung's
-        checkpoints when promoted (reference: BOHB early-stops bad trials
-        the same way, ``utils/bayesOpt.py:76-115``)."""
-        import csv
-        import os
-
         config = copy.deepcopy(base)
         _inject(config, params)
-        epochs = budget * args.epochs_per_trial
+        epochs = budget * epochs_per_trial
         config[Phase.TRAIN]["epochs"] = epochs
         config["Output"]["save_to_disk"] = True
         if state is None:
             trial_counter[0] += 1
-            trial_dir = os.path.join(
+            config["Output"]["save_dir"] = os.path.join(
                 base["Output"]["save_dir"], f"trial_{trial_counter[0]}")
         else:
-            trial_dir = state["trial_dir"]
-        config["Output"]["save_dir"] = trial_dir
+            # resume-from-run-dir semantics (same as the recipe launchers):
+            # train() nests each run in a timestamped subdir and returns
+            # it; on promoted rungs Output.save_dir must point AT that run
+            # dir — the Visualizer resume fork and the checkpoint loader
+            # both read `<save_dir>/checkpoints/latest_*` from it
+            config["Output"]["save_dir"] = state["trial_dir"]
 
         class A:
             start_epoch = 0 if state is None else state["epochs_done"]
@@ -73,7 +67,30 @@ if __name__ == "__main__":
         with open(os.path.join(out_dir, "metrics.csv")) as f:
             rows = list(csv.DictReader(f))
         return {"Validation_DSC": float(rows[-1].get("Validation_DSC", 0)),
-                "trial_dir": trial_dir, "epochs_done": epochs}
+                "trial_dir": out_dir, "epochs_done": epochs}
+
+    return eval_fn
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="")
+    parser.add_argument("--config_file", type=str, required=True)
+    parser.add_argument("--num_samples", type=int, default=32)
+    parser.add_argument("--epochs_per_trial", type=int, default=2)
+    parser.add_argument("--max_budget", type=int, default=9,
+                        help="successive-halving max budget multiplier "
+                             "(epochs = budget * epochs_per_trial)")
+    parser.add_argument("--sampler", type=str, default="tpe",
+                        choices=["tpe", "random"],
+                        help="tpe = surrogate-model sampling (BOHB-style), "
+                             "random = quasi-random")
+    args, unknown = parser.parse_known_args()
+
+    base = load_config(args.config_file)
+    apply_cli_overrides(base, unknown)
+    base.setdefault("General", {}).setdefault("seed", 4958)
+
+    from octa_tpu.utils.hpo import Choice, tune_sha
 
     space = {
         "lambda_speckle": Choice(list(np.arange(0.3, 0.71, 0.1))),
@@ -81,7 +98,9 @@ if __name__ == "__main__":
         "max_decrease_res": Choice(list(np.arange(0.3, 1.1, 0.1))),
     }
     best_params, best_result, _ = tune_sha(
-        space, eval_fn, metric="Validation_DSC", mode="max",
+        space, make_eval_fn(base, args.epochs_per_trial),
+        metric="Validation_DSC", mode="max",
         num_samples=args.num_samples, min_budget=1,
-        max_budget=args.max_budget, reduction_factor=3)
+        max_budget=args.max_budget, reduction_factor=3,
+        sampler=args.sampler)
     print("Best trial:", best_params, best_result)

@@ -14,14 +14,43 @@ Baseline: 500 samples / 120 s / 8 chips = 0.521 img/s/chip.
 vs_baseline = value / 0.521.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Driver-proofing (the TPU sits behind a flaky shared tunnel; multi-hour
+outages are documented in CLAUDE.md): the orchestrator first runs a
+60-s-bounded 256² matmul probe in a subprocess; on outage it prints a
+`tpu_unavailable` JSON line immediately instead of hanging. Each scope
+gets a hard subprocess timeout, and the scope process itself watches an
+OCTA_BENCH_DEADLINE so it emits its JSON line before the kill. Worst-case
+total wall: probe 75 s + e2e 620 s + fallback 240 s ≈ 15.6 min.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 import yaml
+
+PROBE_TIMEOUT = 75      # seconds for the 256² matmul outage probe
+E2E_TIMEOUT = 620       # warmup + up-to-4 timed reps fits comfortably
+ADAPT_TIMEOUT = 240     # fallback scope (no growth stage)
+DEADLINE_MARGIN = 45    # scope emits JSON this long before its kill
+
+
+def _deadline() -> float:
+    return float(os.environ.get("OCTA_BENCH_DEADLINE", "1e18"))
+
+
+def probe():
+    """Cheap TPU-liveness probe: one small matmul with a value readback
+    (block_until_ready alone returns early on this backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    r = float(jnp.sum(jnp.dot(x, x)))
+    print(f"PROBE_OK {r} backend={jax.default_backend()}")
 
 
 def _pad_batch_edges(samples, res_in, res_lab, multiple=2048):
@@ -166,13 +195,19 @@ def main(scope: str = "e2e"):
         import sys as _sys
 
         run_all(0)  # warmup: compiles growth + pipeline
-        # best-of-3: the tunneled TPU is shared and contention skews single
-        # timings by up to 5x (CLAUDE.md); the min is the honest capability.
-        # Reps reuse seeds {1,2} so the capacity-staged growth programs are
-        # exactly the warm-compiled ones — a novel seed can stage novel
-        # capacities and pay a remote compile inside the timed region.
+        # Best-of-up-to-4, deadline-aware: the tunneled TPU is shared and
+        # contention skews single timings by up to 5x (CLAUDE.md); the min
+        # is the honest capability. Reps reuse seeds {1,2} so the second
+        # (1,2) pass hits exactly the warm-compiled capacity-staged growth
+        # programs — the first (1,2) pass doubles as the per-seed warmup
+        # (a novel seed can stage novel capacities and pay a remote
+        # compile inside the timed region). Near the deadline we stop
+        # early and keep the best rep so far: a number always gets out.
         dts = []
         for rep in (1, 2, 1, 2):
+            if dts and time.time() + min(dts) + 15 > _deadline():
+                print("deadline: stopping reps early", file=_sys.stderr)
+                break
             t0 = time.perf_counter()
             run_all(rep)
             dts.append(time.perf_counter() - t0)
@@ -208,27 +243,102 @@ def main(scope: str = "e2e"):
         dt = time.perf_counter() - t0
         metric = "adapt_segment_1216px_images_per_sec_per_chip"
 
-    # Accuracy rider (untimed): with trained segmentor weights available,
-    # segment clean splatted synthetics and report Dice vs the splatted
-    # labels — so perf work cannot silently break outputs while keeping
-    # shapes (random-weight throughput alone would pass). Auto-discovers
-    # the recipe run's best checkpoint; override via OCTA_TPU_BENCH_CKPT.
+    # Accuracy riders (untimed, deadline-aware) — so perf work cannot
+    # silently break outputs while keeping shapes (random-weight
+    # throughput alone would pass):
+    #   dice        — the ADAPTED path: splat -> noise model -> trained
+    #                 generator -> trained segmentor (both from the joint
+    #                 S-GAN recipe run), Dice vs the splatted labels. This
+    #                 is the pipeline the bench actually times.
+    #   dice_clean  — trained supervised segmentor on clean splats
+    #                 (legacy rider; pins the segmentation path alone).
+    # Auto-discovers recipe-run checkpoints; override via
+    # OCTA_TPU_BENCH_GAN_DIR / OCTA_TPU_BENCH_CKPT.
+    import sys as _sys
+
     dice = None
+    dice_clean = None
+    rider_budget_ok = time.time() + 60 < _deadline()
     try:
+        if not rider_budget_ok:
+            raise RuntimeError("skipped: bench deadline too close")
         import glob as _glob
-        import os as _os
+
+        from octa_tpu.io.checkpoints import load_checkpoint, restore_like
+        from octa_tpu.ops import raster
+
+        paths = sorted(_glob.glob("datasets/vessel_graphs/*.csv"))[:8]
+        samples = [raster.parse_graph_csv(p) for p in paths]
+        prep = _pad_batch_edges(samples, RES_IN, RES_LAB)
+        (ai, bi, wi, vi) = [jnp.asarray(x) for x in prep["in"]]
+        (al, bl, wl, vl) = [jnp.asarray(x) for x in prep["lab"]]
+
+        def batched_dice(pass_fn):
+            ds = []
+            for i in range(0, len(paths), BATCH):
+                s = slice(i, i + BATCH)
+                ds.append(pass_fn(ai[s], bi[s], wi[s], vi[s],
+                                  al[s], bl[s], wl[s], vl[s]))
+            return round(float(jnp.mean(jnp.concatenate(ds))), 4)
+
+        def _dice(pred, lab):
+            inter = jnp.sum(pred & lab, axis=(1, 2))
+            return (2 * inter
+                    / jnp.maximum(jnp.sum(pred, (1, 2))
+                                  + jnp.sum(lab, (1, 2)), 1))
+
+        # -- adapted path: trained G + jointly-trained S ------------------
+        gan_dir = os.environ.get("OCTA_TPU_BENCH_GAN_DIR")
+        if not gan_dir:
+            cands = sorted(_glob.glob(
+                "results/recipe_gan_ves_seg/*/checkpoints/"
+                "latest_generator_model.ckpt"))
+            gan_dir = cands[-1].rsplit("/", 2)[0] if cands else None
+        if gan_dir:
+            g_params = restore_like(
+                gv["params"],
+                load_checkpoint(f"{gan_dir}/checkpoints/"
+                                "latest_generator_model.ckpt")["model"])
+            s_params = restore_like(
+                sv["params"],
+                load_checkpoint(f"{gan_dir}/checkpoints/"
+                                "latest_segmentor_model.ckpt")["model"])
+
+            @jax.jit
+            def adapted_pass(ai, bi, wi, vi, al, bl, wl, vl):
+                img = splat2d(ai, bi, wi, vi, RES_IN, 4096)
+                lab = (splat2d(al, bl, wl, vl, RES_LAB, 512) > 0.1)
+                nprm = nm.sample_noise_params(jax.random.PRNGKey(7),
+                                              img.shape[0])
+                noised = nm.apply_noise_model(
+                    nprm, jax.random.PRNGKey(8), img, bg[:img.shape[0]])
+                fake = gen.apply({"params": g_params},
+                                 noised[..., None].astype(jnp.bfloat16))
+                up = jax.image.resize(
+                    fake, (fake.shape[0], RES_LAB, RES_LAB, 1), "linear")
+                pred = jax.nn.sigmoid(
+                    seg.apply({"params": s_params}, up))[..., 0] > 0.5
+                return _dice(pred, lab)
+
+            dice = batched_dice(adapted_pass)
+    except Exception as e:
+        print(f"adapted-path dice rider unavailable: {e!r}", file=_sys.stderr)
+
+    try:
+        if not rider_budget_ok:
+            raise RuntimeError("skipped: bench deadline too close")
+        import glob as _glob
+
+        from octa_tpu.io.checkpoints import load_checkpoint, restore_like
 
         ckpts = sorted(
             _glob.glob("results/recipe_seg_supervised/*/checkpoints/"
                        "best_model_model.ckpt")
             + _glob.glob("results/recipe_seg_supervised/*/checkpoints/"
                          "best_segmentor_model.ckpt"))
-        ckpt = _os.environ.get("OCTA_TPU_BENCH_CKPT") or (
+        ckpt = os.environ.get("OCTA_TPU_BENCH_CKPT") or (
             ckpts[-1] if ckpts else None)
         if ckpt:
-            from octa_tpu.io.checkpoints import load_checkpoint, restore_like
-            from octa_tpu.ops import raster
-
             loaded = load_checkpoint(ckpt)["model"]
             seg_f32 = DynUNet(
                 spatial_dims=2, in_channels=1, out_channels=1,
@@ -237,15 +347,9 @@ def main(scope: str = "e2e"):
             sv_t = seg_f32.init(jax.random.PRNGKey(1),
                                 jnp.zeros((1, 64, 64, 1)))
             params = restore_like(sv_t["params"], loaded)
-            paths = sorted(
-                _glob.glob("datasets/vessel_graphs/*.csv"))[:8]
-            samples = [raster.parse_graph_csv(p) for p in paths]
-            prep = _pad_batch_edges(samples, RES_IN, RES_LAB)
-            (ai, bi, wi, vi) = [jnp.asarray(x) for x in prep["in"]]
-            (al, bl, wl, vl) = [jnp.asarray(x) for x in prep["lab"]]
 
             @jax.jit
-            def dice_pass(ai, bi, wi, vi, al, bl, wl, vl):
+            def clean_pass(ai, bi, wi, vi, al, bl, wl, vl):
                 img = splat2d(ai, bi, wi, vi, RES_IN, 4096)
                 lab = (splat2d(al, bl, wl, vl, RES_LAB, 512) > 0.1)
                 up = jax.image.resize(
@@ -255,20 +359,11 @@ def main(scope: str = "e2e"):
                     (img.shape[0], RES_LAB, RES_LAB, 1), "linear")
                 pred = jax.nn.sigmoid(
                     seg_f32.apply({"params": params}, up))[..., 0] > 0.5
-                inter = jnp.sum(pred & lab, axis=(1, 2))
-                return (2 * inter
-                        / jnp.maximum(jnp.sum(pred, (1, 2))
-                                      + jnp.sum(lab, (1, 2)), 1))
+                return _dice(pred, lab)
 
-            ds = []
-            for i in range(0, len(paths), BATCH):
-                s = slice(i, i + BATCH)
-                ds.append(dice_pass(ai[s], bi[s], wi[s], vi[s],
-                                    al[s], bl[s], wl[s], vl[s]))
-            dice = round(float(jnp.mean(jnp.concatenate(ds))), 4)
+            dice_clean = batched_dice(clean_pass)
     except Exception as e:
-        import sys as _sys
-        print(f"dice rider unavailable: {e!r}", file=_sys.stderr)
+        print(f"clean dice rider unavailable: {e!r}", file=_sys.stderr)
 
     imgs_per_sec = N_IMAGES / dt
     print(json.dumps({
@@ -277,35 +372,74 @@ def main(scope: str = "e2e"):
         "unit": "img/s/chip",
         "vs_baseline": round(imgs_per_sec / baseline, 3),
         "dice": dice,
+        "dice_clean": dice_clean,
     }))
 
 
 def _orchestrate():
-    """Try the full e2e scope in a subprocess (a device fault wedges the
-    whole JAX client, so each attempt needs a fresh process); fall back to
-    the adapt+segment scope. Prints exactly one JSON line."""
+    """Driver-proof orchestration with a hard ~15-min wall budget:
+      1. 75-s-bounded 256² matmul probe in a subprocess; on outage print a
+         tpu_unavailable JSON line immediately (CLAUDE.md documents
+         multi-hour tunnel outages — never hang the driver on one).
+      2. e2e scope (620 s subprocess budget, internal deadline so its JSON
+         gets out before the kill), else
+      3. adapt+segment fallback (240 s), else a bench_unavailable line.
+    Each scope runs in a fresh process because a device fault wedges the
+    whole JAX client. Prints exactly one JSON line."""
     import subprocess
     import sys
 
-    for scope in ("e2e", "adapt_segment"):
+    def run_scope(scope, budget):
+        env = dict(os.environ,
+                   OCTA_BENCH_DEADLINE=str(time.time() + budget
+                                           - DEADLINE_MARGIN))
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--scope", scope],
-                capture_output=True, text=True, timeout=2400)
+                capture_output=True, text=True, timeout=budget, env=env)
         except subprocess.TimeoutExpired:
-            continue
+            return None
+        sys.stderr.write(r.stderr or "")
         for line in reversed((r.stdout or "").strip().splitlines()):
             if line.startswith("{"):
-                print(line)
-                return
+                return line
+        return None
+
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "--scope", "probe"],
+            capture_output=True, text=True, timeout=PROBE_TIMEOUT)
+        tpu_ok = "PROBE_OK" in (r.stdout or "")
+    except subprocess.TimeoutExpired:
+        tpu_ok = False
+    if not tpu_ok:
+        print(json.dumps({
+            "metric": "bench_unavailable", "value": 0.0,
+            "unit": "img/s/chip", "vs_baseline": 0.0,
+            "diagnostic": "tpu_unavailable: 256^2 matmul probe failed "
+                          f"within {PROBE_TIMEOUT}s (shared-tunnel outage; "
+                          "see CLAUDE.md environment hazards)"}))
+        return
+
+    for scope, budget in (("e2e", E2E_TIMEOUT),
+                          ("adapt_segment", ADAPT_TIMEOUT)):
+        line = run_scope(scope, budget)
+        if line:
+            print(line)
+            return
     print(json.dumps({"metric": "bench_unavailable", "value": 0.0,
-                      "unit": "img/s/chip", "vs_baseline": 0.0}))
+                      "unit": "img/s/chip", "vs_baseline": 0.0,
+                      "diagnostic": "scopes failed despite live probe"}))
 
 
 if __name__ == "__main__":
     import sys
 
     if "--scope" in sys.argv:
-        main(sys.argv[sys.argv.index("--scope") + 1])
+        scope = sys.argv[sys.argv.index("--scope") + 1]
+        if scope == "probe":
+            probe()
+        else:
+            main(scope)
     else:
         _orchestrate()

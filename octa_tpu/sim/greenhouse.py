@@ -28,6 +28,7 @@ from __future__ import annotations
 import functools
 import math
 import os as _os
+import warnings as _warnings
 from typing import NamedTuple
 
 import jax
@@ -946,7 +947,7 @@ class Greenhouse:
     ``batch`` independent samples in one vmapped, jit-compiled program."""
 
     def __init__(self, config: dict, node_capacity: int = 16384,
-                 sink_capacity: int = 16384, seed: int = 0,
+                 sink_capacity: int = 32768, seed: int = 0,
                  chunk: int = 1024):
         self.config = config
         self.param_scale = config["param_scale"]
@@ -1080,6 +1081,12 @@ class Greenhouse:
                         else -(-scap // 2048) * 2048)
                 scap = min(max(scap, 1024), self.sink_capacity)
                 seg_state = _resize_sinks(_resize_forests(state, cap), scap)
+                # clear saturation bits at segment entry: ``sat`` is OR-
+                # accumulated inside the scan, and a sticky bit from an
+                # earlier (already redone) segment would trigger spurious
+                # redos in every subsequent segment
+                seg_state = seg_state._replace(
+                    sat=jnp.zeros_like(seg_state.sat))
                 fn = self._jitted_segment(
                     mi, t0, i0, seg_len, cap, murray_sweeps, collect_stats,
                     ecap, scap)
@@ -1106,6 +1113,29 @@ class Greenhouse:
                 if n_after >= cap - 2 and cap < self.node_capacity:
                     slope *= 2.0  # saturated: redo the segment, bigger
                     continue
+                # accepting with saturation bits set means ecap/scap are
+                # already AT their ceilings (smaller values `continue`d
+                # above): the segment truncated work the reference's
+                # unbounded lists would have kept
+                # (``greenhouse.py:319-341``). Never silent — warn (raises
+                # under --debug's warnings-as-errors).
+                node_full = n_after >= cap - 2 and cap >= self.node_capacity
+                if sat or node_full:
+                    trunc = []
+                    if sat & 1:
+                        trunc.append(f"emission window (ecap={ecap})")
+                    if sat & 2:
+                        trunc.append(f"sink array (scap={scap})")
+                    if node_full:
+                        trunc.append(f"node array (n={n_after:.0f})")
+                    _warnings.warn(
+                        "develop_forest: capacity ceiling reached — "
+                        f"{', '.join(trunc)} truncated at node_capacity="
+                        f"{self.node_capacity}, sink_capacity="
+                        f"{self.sink_capacity}; results now diverge from an"
+                        " unbounded run. Raise Greenhouse(node_capacity=..."
+                        ", sink_capacity=...).",
+                        RuntimeWarning, stacklevel=2)
                 break
             slope = max(24.0, (n_after - n_now) / seg_len)
             n_now = n_after

@@ -94,6 +94,50 @@ def tune(space: dict[str, Any],
     return best_params, best_result, history
 
 
+def _tpe_sample(space: dict[str, Any], observations, rng,
+                n_candidates: int = 24, gamma: float = 0.25):
+    """One TPE (tree-structured Parzen estimator) draw — the surrogate
+    model inside BOHB (the reference's ``TuneBOHB``,
+    ``utils/bayesOpt.py:76-115``): split past observations into good/bad
+    at the ``gamma`` quantile, model each set with a per-dimension kernel
+    density (Gaussian for continuous, smoothed frequencies for Choice),
+    draw candidates from the good density l(x) and keep the one
+    maximizing l(x)/g(x)."""
+    import numpy as np
+
+    obs = sorted(observations, key=lambda o: -o[1])
+    n_good = max(2, int(math.ceil(gamma * len(obs))))
+    good = [o[0] for o in obs[:n_good]]
+    bad = [o[0] for o in obs[n_good:]] or good
+
+    def _logpdf(values, x, s):
+        if isinstance(s, Choice):
+            counts = {c: 1.0 for c in s.choices}  # Laplace smoothing
+            for v in values:
+                counts[v] = counts.get(v, 1.0) + 1.0
+            total = sum(counts.values())
+            return math.log(counts.get(x, 1.0) / total)
+        span = float(s.upper - s.lower) or 1.0
+        bw = max(1e-3 * span, 1.06 * span * len(values) ** -0.2 * 0.25)
+        arr = np.asarray(values, float)
+        z = (x - arr) / bw
+        return float(np.log(np.mean(np.exp(-0.5 * z * z)) / bw + 1e-12))
+
+    best_c, best_score = None, -math.inf
+    for _ in range(n_candidates):
+        cand = {}
+        for k, s in space.items():
+            src = good[int(rng.integers(0, len(good)))][k]
+            cand[k] = s.perturb(src, rng, scale=0.2)
+        score = sum(
+            _logpdf([g[k] for g in good], cand[k], space[k])
+            - _logpdf([b[k] for b in bad], cand[k], space[k])
+            for k in space)
+        if score > best_score:
+            best_c, best_score = cand, score
+    return best_c
+
+
 def tune_sha(space: dict[str, Any],
              eval_fn: Callable[..., dict[str, float]],
              metric: str,
@@ -103,7 +147,8 @@ def tune_sha(space: dict[str, Any],
              max_budget: int = 9,
              reduction_factor: int = 3,
              seed: int = 0,
-             verbose: bool = True):
+             verbose: bool = True,
+             sampler: str = "random"):
     """Successive-halving bracket (the HyperBand core of the reference's
     Ray Tune + ``TuneBOHB`` setup, ``utils/bayesOpt.py:76-115``): every
     trial is evaluated at ``min_budget``; only the top
@@ -117,6 +162,10 @@ def tune_sha(space: dict[str, Any],
     the callee can use it to resume a checkpointed training instead of
     restarting. ``result`` must contain ``metric``.
 
+    ``sampler="tpe"`` draws first-rung configurations sequentially from a
+    TPE surrogate fitted to the rung's completed evaluations (BOHB-style;
+    the first ``2 * len(space)`` draws stay random to seed the model).
+
     Returns (best_params, best_result, history); history entries are
     (params, budget, result)."""
     import numpy as np
@@ -128,17 +177,25 @@ def tune_sha(space: dict[str, Any],
     while rungs[-1] * reduction_factor <= max_budget:
         rungs.append(rungs[-1] * reduction_factor)
 
-    trials = [{"params": {k: s.sample(rng) for k, s in space.items()},
-               "state": None, "score": -math.inf, "result": None}
-              for _ in range(num_samples)]
+    trials = [{"params": None, "state": None, "score": -math.inf,
+               "result": None} for _ in range(num_samples)]
     history: list[tuple[dict, int, dict]] = []
+    n_init = max(4, 2 * len(space))
+    observations: list[tuple[dict, float]] = []
     alive = list(trials)
     for ri, budget in enumerate(rungs):
         for t in alive:
+            if t["params"] is None:  # first rung: sample just-in-time
+                if sampler == "tpe" and len(observations) >= n_init:
+                    t["params"] = _tpe_sample(space, observations, rng)
+                else:
+                    t["params"] = {k: s.sample(rng)
+                                   for k, s in space.items()}
             result = eval_fn(t["params"], budget, t["state"])
             t["state"] = result
             t["result"] = result
             t["score"] = sign * result[metric]
+            observations.append((dict(t["params"]), t["score"]))
             history.append((dict(t["params"]), budget, result))
         alive.sort(key=lambda t: -t["score"])
         if ri < len(rungs) - 1:

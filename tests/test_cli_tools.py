@@ -123,3 +123,69 @@ def test_hpo_successive_halving_truncates_bad_trials():
     # the survivor pool must contain the near-optimal configs
     assert abs(best["x"] - 0.3) < 0.2
     assert result["b"] == 9  # best came from a fully-trained trial
+
+
+def test_hpo_tpe_sampler_beats_random_on_narrow_optimum():
+    """The TPE surrogate (BOHB's model, reference utils/bayesOpt.py:76-115)
+    must concentrate first-rung samples near the good region once seeded:
+    on a narrow 2-d optimum it should land closer than quasi-random with
+    the same budget."""
+    import numpy as np
+
+    from octa_tpu.utils.hpo import Uniform, tune_sha
+
+    def make_eval():
+        def eval_fn(p, budget, state):
+            return {"score": -((p["x"] - 0.71) ** 2
+                               + (p["y"] - 0.23) ** 2)}
+        return eval_fn
+
+    space = {"x": Uniform(0, 1), "y": Uniform(0, 1)}
+    dists = {}
+    for sampler in ("random", "tpe"):
+        best, _, hist = tune_sha(space, make_eval(), "score",
+                                 num_samples=30, min_budget=1, max_budget=1,
+                                 seed=3, verbose=False, sampler=sampler)
+        dists[sampler] = np.hypot(best["x"] - 0.71, best["y"] - 0.23)
+    assert dists["tpe"] <= dists["random"] + 0.05, dists
+    assert dists["tpe"] < 0.12, dists
+
+
+def test_bayesopt_noise_sha_resume(tmp_path):
+    """End-to-end bayesOpt_noise rung promotion: rung 2 must RESUME the
+    promoted trial's run dir (fresh sibling fork with carried checkpoints),
+    not crash on a missing checkpoint path (the trial parent dir has no
+    checkpoints/ — only the timestamped run dir inside it does)."""
+    import os
+
+    from bayesOpt_noise import make_eval_fn
+    from tests.test_train_seg import _config
+
+    base = _config(tmp_path, res=64, epochs=1, n_files=4)
+    base["Train"]["data"]["background"] = {
+        "files": "/root/reference/datasets/background_images/*.png"}
+    base["Train"]["data_augmentation"] = (
+        [{"name": "LoadImaged", "keys": ["background"], "image_only": True},
+         {"name": "EnsureChannelFirstd", "keys": ["background"],
+          "strict_check": False, "channel_dim": "no_channel"},
+         {"name": "Resized", "keys": ["background"],
+          "spatial_size": [64, 64]},
+         {"name": "ScaleIntensityd", "keys": ["background"],
+          "minv": 0, "maxv": 1}]
+        + base["Train"]["data_augmentation"][:3]
+        + [{"name": "NoiseModeld", "keys": ["image"],
+            "lambda_speckle": 0.7, "lambda_delta": 1.0,
+            "lambda_gamma": 0.3}]
+        + base["Train"]["data_augmentation"][3:])
+    eval_fn = make_eval_fn(base, epochs_per_trial=1)
+
+    params = {"lambda_speckle": 0.5, "lambda_delta": 0.8,
+              "max_decrease_res": 0.5}
+    r1 = eval_fn(params, 1, None)          # rung 1: 1 epoch from scratch
+    assert os.path.exists(os.path.join(r1["trial_dir"], "metrics.csv"))
+    r2 = eval_fn(params, 2, r1)            # rung 2: resume to 2 epochs
+    assert r2["epochs_done"] == 2
+    assert r2["trial_dir"] != r1["trial_dir"]
+    with open(os.path.join(r2["trial_dir"], "metrics.csv")) as f:
+        rows = f.read().strip().splitlines()
+    assert len(rows) == 1 + 2  # header + carried epoch 0 + resumed epoch 1

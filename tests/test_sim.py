@@ -117,6 +117,22 @@ def test_csv_export_roundtrip(grown, tmp_path):
     assert img.max() > 100  # vessels rendered
 
 
+def test_capacity_ceiling_warns():
+    """Saturating at the configured capacity ceiling must WARN, never
+    silently truncate (the reference's sink list is unbounded,
+    greenhouse.py:319-341); below the ceiling, staging redoes the segment
+    and the run stays warning-free (covered by the module fixture)."""
+    import warnings
+
+    g = gh.Greenhouse(CONFIG, node_capacity=2048, sink_capacity=256, seed=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        g.develop_forest(FOREST, batch=1)
+    msgs = [x for x in w if x.category is RuntimeWarning
+            and "capacity ceiling" in str(x.message)]
+    assert msgs, "expected a truncation RuntimeWarning at the sink ceiling"
+
+
 def test_nerve_disc_carved_from_sampling():
     """Candidates inside the optic-nerve disc must be rejected
     (reference simulation_space.py:45-49)."""
