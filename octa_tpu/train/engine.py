@@ -15,7 +15,7 @@ from octa_tpu.data.dataset import get_dataset, get_post_transformation
 from octa_tpu.io.visualizer import Visualizer
 from octa_tpu.train.algorithms import define_model
 from octa_tpu.utils.enums import Phase
-from octa_tpu.utils.metrics import MetricsManager
+from octa_tpu.utils.metrics import MetricsManager, _is_zstack
 
 
 def apply_split_suffix(config: dict, split: str):
@@ -95,7 +95,8 @@ def train(args, config: dict):
         # VALIDATION
         if val_loader is not None and (epoch + 1) % val_interval == 0:
             model.eval()
-            val_metrics = MetricsManager(phase=Phase.VALIDATION)
+            val_metrics = MetricsManager(phase=Phase.VALIDATION,
+                                         volumetric=_is_zstack(config))
             val_loss, vstep = 0.0, 0
             for val_mini_batch in val_loader:
                 vstep += 1

@@ -91,14 +91,21 @@ def cl_dice_score(pred, label) -> float:
 
 
 class _ListMetric:
-    def __init__(self, fn):
+    def __init__(self, fn, volumetric: bool = False):
         self.fn = fn
+        self.volumetric = volumetric
         self.scores: list[float] = []
 
     def __call__(self, y_pred, y):
         for p, t in zip(y_pred, y):
             p = np.asarray(p)
             t = np.asarray(t)
+            if self.volumetric and p.ndim == 3:
+                # z-stack prediction (3D recon): score the whole volume —
+                # the reference's clDice takes the 3D array through its
+                # skeletonize(method='lee') branch (utils/cldice.py:31-33)
+                self.scores.append(self.fn(p, t))
+                continue
             # iterate channels like the reference's per-layer loop
             for c in range(p.shape[0]) if p.ndim >= 3 else [None]:
                 pc = p[c] if c is not None else p
@@ -114,16 +121,29 @@ class _ListMetric:
         self.scores = []
 
 
+def _is_zstack(config: dict) -> bool:
+    """True for the 3D-reconstruction task family: a ves-seg model whose
+    output channels are z-slices of one volume (reference
+    config_3d_recon_supervised.yml — out_channels 44 at spatial_dims 2),
+    where ClDice must be scored volumetrically."""
+    g = config.get("General", {}) if isinstance(config, dict) else {}
+    model = g.get("model", {}) or {}
+    return (str(g.get("task", "")) == "ves-seg"
+            and int(model.get("out_channels", 1) or 1) > 1)
+
+
 class MetricsManager:
     """Reference-compatible manager (``metrics.py:165-196``): Train phase
     tracks DSC+IoU; Validation/Test adds ClDice, AUC, ACC, Recall, Precision.
     Comparison metric is DSC."""
 
-    def __init__(self, phase: Phase = Phase.TRAIN):
+    def __init__(self, phase: Phase = Phase.TRAIN, volumetric: bool = False):
+        """``volumetric=True`` scores ClDice on whole [Z, H, W] z-stack
+        predictions (3D-recon task) instead of per-channel slices."""
         base = {"DSC": _ListMetric(dice_score), "IoU": _ListMetric(iou_score)}
         if phase != Phase.TRAIN:
             base.update({
-                "ClDice": _ListMetric(cl_dice_score),
+                "ClDice": _ListMetric(cl_dice_score, volumetric=volumetric),
                 "AUC": _ListMetric(roc_auc_score),
                 "ACC": _ListMetric(accuracy_score),
                 "Recall": _ListMetric(recall_score),

@@ -20,7 +20,7 @@ if __name__ == "__main__":
     from octa_tpu.train.algorithms import define_model
     from octa_tpu.train.engine import apply_split_suffix
     from octa_tpu.utils.enums import Phase
-    from octa_tpu.utils.metrics import MetricsManager
+    from octa_tpu.utils.metrics import MetricsManager, _is_zstack
 
     apply_split_suffix(config, args.split)
     config[Phase.VALIDATION]["batch_size"] = 1
@@ -31,7 +31,8 @@ if __name__ == "__main__":
     init_batch = next(iter(loader))
     model.initialize_model_and_optimizer(init_batch, config, args,
                                          phase=Phase.VALIDATION)
-    metrics = MetricsManager(Phase.VALIDATION)
+    metrics = MetricsManager(Phase.VALIDATION,
+                             volumetric=_is_zstack(config))
     for mini_batch in loader:
         outputs, _ = model.inference(mini_batch, post, phase=Phase.VALIDATION)
         model.compute_metric(outputs, metrics)
