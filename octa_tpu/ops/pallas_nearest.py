@@ -6,14 +6,22 @@ This is the hot op of the vessel-growth engine (the reference uses a
 chunked scan in :mod:`octa_tpu.sim.greenhouse`). The XLA form materializes the
 [Q, chunk] pairwise-d² matrix to HBM and — with two validity masks — reads it
 back once per masked reduction, which makes the growth loop HBM-bound. The
-kernel keeps each d² tile in VMEM, computes the cross term as three VPU
-outer-product FMAs (a K=3 matmul would be padded to K=128 on the MXU), and
+kernel keeps each d² tile in VMEM, computes d² per point block as three VPU
+difference-form FMAs (a K=3 matmul would be padded to K=128 on the MXU), and
 carries the running (min, argmin) of every mask across point blocks, so HBM
 traffic collapses to the inputs and the [Q]-sized outputs.
 
-Masks are passed as additive penalties fused with |p|²: ``pen = |p|² + BIG *
-(1 - mask)``, so ``d² = |q|² - 2 q·p + pen`` is one FMA per mask and invalid
-points sort to ~1e30 (callers treat sqrt(1e30) as "no neighbor").
+d² is the EXACT difference form ``Σ_a (q_a - p_a)²`` — not the expanded
+``|q|²+|p|²-2q·p``, which cancels catastrophically in f32 for pairs much
+closer than their norms and can flip accept/satisfy decisions near the
+eps/delta thresholds (the retired docs/PARITY.md §2.1 caveat; the
+reference's cKDTree distances are exact). In VMEM the difference form
+costs only ~2 extra VPU passes per block — the expanded form's only
+advantage (avoiding a [Q, chunk, 3] HBM intermediate) is moot here.
+
+Masks are passed as additive penalties: ``pen = BIG * (1 - mask)``, so
+``d² + pen`` is one add per mask and invalid points sort to ~1e30
+(callers treat sqrt(1e30) as "no neighbor").
 """
 from __future__ import annotations
 
@@ -42,22 +50,23 @@ def _nearest_kernel(q_ref, pt_ref, pen_ref, *out_refs, n_blk: int,
     ``want_idx``).
     """
     q = q_ref[0]                                  # [TQ, 3]
-    q2 = jnp.sum(q * q, axis=-1)                  # [TQ]
     tq = q.shape[0]
 
     qa = [q[:, a] for a in range(3)]
 
     def body(j, carry):
-        # Cross term as 3 VPU outer-product FMAs, NOT a dot_general: Mosaic
-        # pads a K=3 matmul to K=128 on the MXU (43x wasted work) — measured
-        # 161 ms vs 59 ms per growth-shaped call ([32,3,10240]x16384).
+        # Exact difference-form d² as 3 VPU outer sub+FMA pairs, NOT a
+        # dot_general: Mosaic pads a K=3 matmul to K=128 on the MXU (43x
+        # wasted work) — measured 161 ms vs 59 ms per growth-shaped call
+        # ([32,3,10240]x16384 in the expanded form; the difference form
+        # adds ~2 VPU passes and removes the f32 cancellation).
         p0 = pt_ref[0, 0, pl.ds(j * blk, blk)]
         p1 = pt_ref[0, 1, pl.ds(j * blk, blk)]
         p2 = pt_ref[0, 2, pl.ds(j * blk, blk)]
-        cross = (qa[0][:, None] * p0[None, :]
-                 + qa[1][:, None] * p1[None, :]
-                 + qa[2][:, None] * p2[None, :])  # [TQ, blk]
-        base = q2[:, None] - 2.0 * cross
+        d0 = qa[0][:, None] - p0[None, :]
+        d1 = qa[1][:, None] - p1[None, :]
+        d2_ = qa[2][:, None] - p2[None, :]
+        base = d0 * d0 + d1 * d1 + d2_ * d2_      # [TQ, blk]
         new = []
         for m in range(n_masks):
             pen = pen_ref[0, m, pl.ds(j * blk, blk)]
@@ -126,7 +135,7 @@ def masked_nearest_pallas(query, points, masks, *, want_idx: bool = True,
                                                 (0, 0)))
     pts = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, n_pad - n),
                                                (0, 0)))
-    pen = jnp.sum(pts * pts, axis=-1)[:, None, :] + jnp.where(
+    pen = jnp.where(
         jnp.pad(masks, ((0, 0), (0, 0), (0, n_pad - n))), 0.0, BIG)
     pts_t = jnp.swapaxes(pts, 1, 2)               # [R, 3, N]
 

@@ -165,10 +165,13 @@ def _oxygen_distance(r, param_scale):
 def _chunked_nearest(query, points, valid, chunk=2048, n_valid=None):
     """(min_dist, argmin) from each query [Q,3] to valid points [NC,3].
 
-    The pairwise distance is computed as ``|q|^2 + |p|^2 - 2 q.p`` with the
-    cross term on the MXU (f32 HIGHEST precision — K=3 makes it free): the
-    naive broadcast-diff form materializes [Q, chunk, 3] intermediates and is
-    HBM-bound; this form touches only the [Q, chunk] matrix.
+    The pairwise d² is the EXACT difference form ``Σ_a (q_a - p_a)²``,
+    built coordinate-at-a-time so only [Q, chunk] intermediates exist (the
+    [Q, chunk, 3] broadcast-diff would be HBM-bound). The expanded
+    ``|q|²+|p|²-2q·p`` form cancels catastrophically in f32 for pairs much
+    closer than their norms and could flip accept/satisfy decisions near
+    the eps/delta thresholds (retired docs/PARITY.md §2.1 caveat; the
+    reference's cKDTree distances are exact).
 
     ``n_valid`` is accepted for API stability but intentionally unused: see
     the NOTE below — the live node count is bounded by capacity staging in
@@ -180,17 +183,11 @@ def _chunked_nearest(query, points, valid, chunk=2048, n_valid=None):
     val = jnp.pad(valid, (0, pad))
     pts_c = pts.reshape(n_chunks, chunk, 3)
     val_c = val.reshape(n_chunks, chunk)
-    q2 = jnp.sum(query * query, axis=-1)
 
     def body(carry, inp):
         best_d2, best_i = carry
         p, v, base = inp
-        cross = jax.lax.dot_general(
-            query, p, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        p2 = jnp.sum(p * p, axis=-1)
-        d2 = q2[:, None] + p2[None, :] - 2.0 * cross
+        d2 = sum((query[:, a, None] - p[None, :, a]) ** 2 for a in range(3))
         d2 = jnp.where(v[None, :], d2, jnp.inf)
         dmin = jnp.min(d2, axis=1)
         imin = jnp.argmin(d2, axis=1) + base
@@ -225,16 +222,11 @@ def _chunked_nearest2(query, points, mask_a, mask_b, chunk=512):
     pts = jnp.pad(points, ((0, pad), (0, 0)))
     va = jnp.pad(mask_a, (0, pad))
     vb = jnp.pad(mask_b, (0, pad))
-    q2 = jnp.sum(query * query, axis=-1)
 
     def body(carry, inp):
         da, ia, db, ib = carry
         p, a, b, base = inp
-        cross = jax.lax.dot_general(
-            query, p, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        d2 = q2[:, None] + jnp.sum(p * p, -1)[None, :] - 2.0 * cross
+        d2 = sum((query[:, c, None] - p[None, :, c]) ** 2 for c in range(3))
         out = []
         for bd, bi, m in ((da, ia, a), (db, ib, b)):
             dm = jnp.where(m[None, :], d2, jnp.inf)

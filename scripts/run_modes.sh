@@ -18,6 +18,23 @@ case "$MODE" in
   generation)
     python generate_vessel_graph.py --config_file configs/vessel_graph_gen.yml \
       --num_samples "${NUM_SAMPLES:-10}" "$@"
+    # GAN-translate the fresh graphs into realistic OCTA images — the
+    # middle stage of the reference's generation mode
+    # (docker/dockershell.sh:10-17: graph-gen -> trained_models/GAN
+    # test.py -> label render). Uses the newest joint-GAN training run's
+    # config snapshot (its Output.save_dir holds the checkpoints);
+    # override with GAN_RUN_DIR.
+    GAN_RUN=${GAN_RUN_DIR:-$(ls -d results/recipe_gan_ves_seg/*/ 2>/dev/null | sort | tail -1)}
+    if [ -n "${GAN_RUN:-}" ] && [ -f "${GAN_RUN%/}/config.yml" ]; then
+      python test.py --config_file "${GAN_RUN%/}/config.yml" \
+        --General.inference G --epoch latest \
+        --Test.data.real_A.files "./results/vessel_graphs/*.csv" \
+        --Test.save_dir ./results/images
+    else
+      echo "[warn] no trained GAN run under results/recipe_gan_ves_seg" \
+           "(set GAN_RUN_DIR to a run dir with config.yml + checkpoints);" \
+           "skipping the GAN-translation stage"
+    fi
     python visualize_vessel_graphs.py --source_dir ./results/vessel_graphs \
       --out_dir ./results/labels --resolution 1216,1216,16 --binarize
     ;;

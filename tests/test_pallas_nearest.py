@@ -63,3 +63,33 @@ def test_pallas_nearest_min_only_and_all_invalid():
                               tq=64, blk=128, interpret=True)
     assert np.all(np.asarray(d) > 1e6)
 
+
+
+def test_nearest_no_catastrophic_cancellation():
+    """Difference-form d² is exact where the expanded |q|²+|p|²-2q·p form
+    loses ~7 digits: offset the unit-cube geometry far from the origin and
+    require f64-accurate distances (retired PARITY §2.1 caveat)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from octa_tpu.ops.pallas_nearest import masked_nearest_pallas
+    from octa_tpu.sim.greenhouse import _chunked_nearest
+
+    rng = np.random.default_rng(7)
+    base = rng.random((256, 3)).astype(np.float32) + 100.0  # big norms
+    q = base[:128] + rng.normal(0, 2e-4, (128, 3)).astype(np.float32)
+    pts = base
+    mask = np.ones((256,), bool)
+
+    exact = np.sqrt(((q.astype(np.float64)[:, None]
+                      - pts.astype(np.float64)[None]) ** 2).sum(-1)).min(1)
+
+    d_xla, _ = _chunked_nearest(jnp.asarray(q), jnp.asarray(pts),
+                                jnp.asarray(mask), chunk=256)
+    d_pl, _ = masked_nearest_pallas(q[None], pts[None], mask[None, None],
+                                    interpret=True)
+    for d in (np.asarray(d_xla), np.asarray(d_pl[0, 0])):
+        rel = np.abs(d - exact) / np.maximum(exact, 1e-12)
+        assert rel.max() < 1e-3, rel.max()
+        # the expanded form fails this by orders of magnitude here: its
+        # absolute d² error is ~|q|²·eps ≈ 3e4·6e-8 ≈ 2e-3 vs d² ≈ 1e-7
