@@ -93,9 +93,12 @@ if __name__ == "__main__":
     from octa_tpu.utils.hpo import Choice, tune_sha
 
     space = {
-        "lambda_speckle": Choice(list(np.arange(0.3, 0.71, 0.1))),
-        "lambda_delta": Choice(list(np.arange(0.5, 1.1, 0.1))),
-        "max_decrease_res": Choice(list(np.arange(0.3, 1.1, 0.1))),
+        "lambda_speckle": Choice([round(float(x), 2)
+                                  for x in np.arange(0.3, 0.71, 0.1)]),
+        "lambda_delta": Choice([round(float(x), 2)
+                                for x in np.arange(0.5, 1.1, 0.1)]),
+        "max_decrease_res": Choice([round(float(x), 2)
+                                    for x in np.arange(0.3, 1.1, 0.1)]),
     }
     best_params, best_result, _ = tune_sha(
         space, make_eval_fn(base, args.epochs_per_trial),

@@ -780,14 +780,27 @@ def get_data_augmentations(aug_config, seed: int, dtype=np.float32,
         if name not in TRANSFORM_REGISTRY:
             # The reference falls through to all of monai.transforms via
             # globals() (``data_transforms.py:11,594``); this rebuild
-            # implements the names the shipped config corpus uses. Fail
-            # loudly instead of at first use.
-            raise KeyError(
-                f"transform '{name}' is not implemented in octa_tpu. "
-                "Supported transforms: "
-                + ", ".join(sorted(TRANSFORM_REGISTRY)) + ". "
-                "(The reference additionally dispatches arbitrary "
-                "monai.transforms names; see README 'Transform coverage'.)")
+            # implements the names the shipped config corpus uses, and —
+            # when MONAI happens to be installed — dispatches unknown
+            # names to it the same way, so user-authored configs with
+            # arbitrary MONAI transforms keep working. Without MONAI,
+            # fail loudly instead of at first use.
+            monai_cls = None
+            try:  # optional dependency; absent in this image
+                import monai.transforms as _mt
+                monai_cls = getattr(_mt, name, None)
+            except ImportError:
+                pass
+            if monai_cls is None:
+                raise KeyError(
+                    f"transform '{name}' is not implemented in octa_tpu "
+                    "and MONAI is not installed. Supported transforms: "
+                    + ", ".join(sorted(TRANSFORM_REGISTRY)) + ". "
+                    "(The reference additionally dispatches arbitrary "
+                    "monai.transforms names; installing MONAI restores "
+                    "that fallthrough here.)")
+            out.append(monai_cls(**entry))
+            continue
         cls = TRANSFORM_REGISTRY[name]
         if name.startswith("CastToType"):
             dts = entry.get("dtype", "float32")

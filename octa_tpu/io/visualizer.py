@@ -301,4 +301,6 @@ def _plain(obj):
         return [_plain(v) for v in obj]
     if isinstance(obj, (str, int, float, bool)) or obj is None:
         return obj
+    if isinstance(obj, np.generic):  # numpy scalars (e.g. HPO-injected)
+        return obj.item()
     return str(obj)

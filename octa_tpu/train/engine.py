@@ -30,6 +30,56 @@ def apply_split_suffix(config: dict, split: str):
                 entry["split"] = entry["split"] + split + ".txt"
 
 
+class _LiveProgress:
+    """Rich live console for training (reference ``train.py:78-105,229``:
+    epoch + batch progress bars with the running loss, inside a
+    ``rich.live.Live``). Active only on a TTY (or OCTA_TPU_RICH=1) so
+    recipe-launcher logs and piped runs keep the plain one-line-per-epoch
+    output; OCTA_TPU_RICH=0 forces it off."""
+
+    def __init__(self, n_epochs: int, start_epoch: int):
+        import os
+        import sys
+
+        flag = os.environ.get("OCTA_TPU_RICH")
+        self.on = (flag != "0") and (flag == "1" or sys.stdout.isatty())
+        if not self.on:
+            return
+        from rich.live import Live
+        from rich.progress import Progress, TimeElapsedColumn
+
+        self.progress = Progress(*Progress.get_default_columns(),
+                                 TimeElapsedColumn(),
+                                 speed_estimate_period=300)
+        self.live = Live(self.progress, refresh_per_second=4)
+        self.live.start()
+        self.epoch_task = self.progress.add_task(
+            "Epochs", total=n_epochs - start_epoch)
+        self.batch_task = None
+
+    def epoch_start(self, n_batches):
+        if not self.on:
+            return
+        if self.batch_task is not None:
+            self.progress.remove_task(self.batch_task)
+        self.batch_task = self.progress.add_task("Train Batch",
+                                                 total=n_batches)
+
+    def batch(self, loss_name, value):
+        if self.on and self.batch_task is not None:
+            self.progress.update(
+                self.batch_task, advance=1,
+                description=f"train {loss_name}: {value:.4f}")
+
+    def epoch_end(self):
+        if self.on:
+            self.progress.advance(self.epoch_task)
+
+    def close(self):
+        if self.on:
+            self.live.stop()
+
+
 def train(args, config: dict):
     apply_split_suffix(config, getattr(args, "split", ""))
 
@@ -67,11 +117,13 @@ def train(args, config: dict):
 
     total_start = time.time()
     train_sample_path = val_sample_path = None
+    live = _LiveProgress(max_epochs, getattr(args, "start_epoch", 0))
     for epoch in range(getattr(args, "start_epoch", 0), max_epochs):
         epoch_metrics: dict[str, dict[str, float]] = {"loss": {}}
         model.train()
         epoch_loss, step, save_best = 0.0, 0, False
         t_ep = time.time()
+        live.epoch_start(len(train_loader))
         for mini_batch in train_loader:
             step += 1
             outputs, losses = model.perform_training_step(mini_batch, post_train)
@@ -80,7 +132,9 @@ def train(args, config: dict):
                 key = f"train_{loss_name}"
                 epoch_metrics["loss"][key] = (
                     epoch_metrics["loss"].get(key, 0.0) + loss)
-            epoch_loss += losses[list(losses)[0]]
+            main_loss = list(losses)[0]
+            epoch_loss += losses[main_loss]
+            live.batch(main_loss, float(losses[main_loss]))
         model.scheduler_step(epoch)
         epoch_metrics["loss"] = {
             k: v / step for k, v in epoch_metrics["loss"].items()}
@@ -156,6 +210,7 @@ def train(args, config: dict):
                         copyfile(p, p.replace("latest", "best"))
 
         visualizer.plot_losses_and_metrics(epoch_metrics, epoch)
+        live.epoch_end()
         msg = ", ".join(f"{k}={v:.4f}" for k, v in
                         list(epoch_metrics["loss"].items())[:4])
         print(f"[epoch {epoch + 1}/{max_epochs}] {msg} "
@@ -174,6 +229,7 @@ def train(args, config: dict):
                   "exiting for clean resume.", flush=True)
             break
 
+    live.close()
     total = time.time() - total_start
     print(f"Finished training after {datetime.timedelta(seconds=total)}.")
     if best_metric_epoch > -1:
