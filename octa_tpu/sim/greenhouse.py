@@ -60,6 +60,13 @@ class ForestState(NamedTuple):
     n_children: jax.Array   # [NC] int32
     is_root: jax.Array      # [NC] bool
     n_nodes: jax.Array      # scalar int32
+    # Per-node Murray exponents, fixed at creation (reference
+    # ``arterial_tree.py:9,32,180``: every Node stores the kappa it was
+    # created with — the current mode's for grown nodes, the Node default
+    # 4 for stump/root nodes — and ``optimize_edge_radius_to_root`` uses
+    # the PARENT node's own kappa for both the child sum and the 1/kappa).
+    kappa: jax.Array        # [NC] f32 — this node's creation kappa
+    pkappa: jax.Array       # [NC] f32 — the parent's kappa (at creation)
 
 
 class SinkState(NamedTuple):
@@ -603,6 +610,11 @@ def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
     pos = _append(forest.pos, win_pos, 0.0)
     radius = _append(forest.radius, jnp.full((new_cap,), r, jnp.float32), 0.0)
     parent = _append(forest.parent, src, -1)
+    # new nodes carry the current mode's kappa; their parent's kappa is
+    # frozen at the parent's creation (reference arterial_tree.py:32,180)
+    kap = _append(forest.kappa, jnp.full((new_cap,), kappa, jnp.float32),
+                  4.0)
+    pkap = _append(forest.pkappa, forest.kappa[src], 4.0)
 
     # child pointers / counts are per-source-node -> pure elementwise
     set_fc = emit1 & (forest.n_children == 0)
@@ -612,20 +624,22 @@ def _grow_core(forest: ForestState, sink_pos, sink_alive, dist, idx, *,
     n_nodes = forest.n_nodes + total_new
 
     new_forest = ForestState(pos, radius, parent, first_child,
-                             n_children, is_root, n_nodes)
+                             n_children, is_root, n_nodes, kap, pkap)
 
     # ---- Murray radius sweeps (optimize_edge_radius_to_root) ----
-    new_forest = murray_sweep(new_forest, kappa, murray_sweeps)
+    new_forest = murray_sweep(new_forest, murray_sweeps)
 
     return new_forest, sat
 
 
-def murray_sweep(forest: ForestState, kappa, sweeps: int,
+def murray_sweep(forest: ForestState, sweeps: int,
                  exact: bool | None = None) -> ForestState:
     """``sweeps`` parallel Murray-law radius relaxation sweeps
     (``arterial_tree.py:174-184``): each sweep recomputes every internal
-    node's radius from its children, r_p = (sum r_c^kappa)^(1/kappa),
-    propagating changes one level root-ward per sweep.
+    node's radius from its children, r_p = (sum r_c^kappa_p)^(1/kappa_p)
+    with kappa_p the PARENT node's creation-mode kappa (per-node, exactly
+    as the reference's ``self.kappa``), propagating changes one level
+    root-ward per sweep.
 
     The per-parent child sum is a 1-feature segment sum: on TPU the in-loop
     sweeps route through the digit-decomposed one-hot MXU kernel
@@ -653,7 +667,9 @@ def murray_sweep(forest: ForestState, kappa, sweeps: int,
 
     def murray(i, f: ForestState):
         exists = jnp.arange(nc) < f.n_nodes
-        rk = jnp.where(exists, f.radius**kappa, 0.0)
+        # each child contributes radius^(parent's kappa); pkappa was frozen
+        # at creation so no per-sweep gather is needed
+        rk = jnp.where(exists, f.radius**f.pkappa, 0.0)
         par_t = jnp.where(exists & (f.parent >= 0), f.parent, nc)
         if use_kernel:
             child_sum = segsum_onehot_pallas(par_t, rk[:, None], nc=nc)[:, 0]
@@ -662,7 +678,7 @@ def murray_sweep(forest: ForestState, kappa, sweeps: int,
                 rk)[:nc]
         is_internal = (f.n_children >= 1) & ~f.is_root & exists
         new_r = jnp.where(is_internal,
-                          child_sum ** (1.0 / kappa), f.radius)
+                          child_sum ** (1.0 / f.kappa), f.radius)
         return f._replace(radius=new_r)
 
     return jax.lax.fori_loop(0, sweeps, murray, forest)
@@ -898,6 +914,9 @@ def init_forest_stumps(rng: np.random.Generator, n_trees: int,
     first_child = np.full((node_capacity,), -1, np.int32)
     n_children = np.zeros((node_capacity,), np.int32)
     is_root = np.zeros((node_capacity,), bool)
+    # stump/root nodes carry the reference Node's default kappa=4
+    # (``arterial_tree.py:9``; forest.py adds stumps without passing kappa)
+    kap = np.full((node_capacity,), 4.0, np.float32)
     i = 0
     for _ in range(n_trees):
         wall = source_walls[int(rng.integers(0, len(source_walls)))]
@@ -930,7 +949,8 @@ def init_forest_stumps(rng: np.random.Generator, n_trees: int,
     return ForestState(
         jnp.asarray(pos), jnp.asarray(radius), jnp.asarray(parent),
         jnp.asarray(first_child),
-        jnp.asarray(n_children), jnp.asarray(is_root), jnp.int32(i))
+        jnp.asarray(n_children), jnp.asarray(is_root), jnp.int32(i),
+        jnp.asarray(kap), jnp.asarray(kap))
 
 
 class Greenhouse:
@@ -1150,18 +1170,17 @@ class Greenhouse:
 
     def _final_murray(self, state: GrowthState, sweeps: int) -> GrowthState:
         """Converge both forests' radii to the exact Murray fixed point of
-        the final trees (last mode's kappa, matching the in-loop recompute
-        semantics). One deep vmapped sweep per develop_forest — amortized
-        over the batch it is ~2 orders of magnitude cheaper than keeping
-        per-iteration sweeps deep."""
-        kappa = self.modes[-1].kappa
+        the final trees (per-node creation kappa, exactly the reference's
+        ``optimize_edge_radius_to_root`` semantics). One deep vmapped sweep
+        per develop_forest — amortized over the batch it is ~2 orders of
+        magnitude cheaper than keeping per-iteration sweeps deep."""
         cap = state.art.pos.shape[-2]
         key = ("final_murray", cap, sweeps)
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(jax.vmap(
-                lambda f: murray_sweep(f, kappa, sweeps, exact=True)))
+                lambda f: murray_sweep(f, sweeps, exact=True)))
         fn = self._jit_cache[key]
         return state._replace(art=fn(state.art), ven=fn(state.ven))
 
@@ -1266,6 +1285,8 @@ def _resize_forests(state: GrowthState, cap: int) -> GrowthState:
             n_children=jnp.pad(f.n_children, pad1),
             is_root=jnp.pad(f.is_root, pad1),
             n_nodes=f.n_nodes,
+            kappa=jnp.pad(f.kappa, pad1, constant_values=4.0),
+            pkappa=jnp.pad(f.pkappa, pad1, constant_values=4.0),
         )
 
     return state._replace(art=grow(state.art), ven=grow(state.ven))

@@ -165,3 +165,35 @@ def test_geometry_mask_sampling():
     v = np.asarray(valid)
     assert not v[x < 0.49].any()
     assert v[x > 0.51].mean() > 0.95
+
+
+def test_murray_uses_per_node_kappa():
+    """Radius relaxation must use the PARENT node's creation kappa
+    (reference arterial_tree.py:32,180: every Node stores the kappa it was
+    created with; optimize_edge_radius_to_root computes
+    (sum r_c^self.kappa)^(1/self.kappa) on the parent). Mixed-kappa
+    schedules (the docker SVC 2.55 / DVC 2.9 flagship) hit this."""
+    import jax.numpy as jnp
+
+    # root(0) -> p(1, kappa=2.55) -> children 2,3 (kappa=2.9, pkappa=2.55)
+    nc = 8
+    f = gh.ForestState(
+        pos=jnp.zeros((nc, 3)),
+        radius=jnp.asarray([1.0, 0.5, 0.2, 0.3, 0, 0, 0, 0], jnp.float32),
+        parent=jnp.asarray([-1, 0, 1, 1, -1, -1, -1, -1], jnp.int32),
+        first_child=jnp.asarray([1, 2, -1, -1, -1, -1, -1, -1], jnp.int32),
+        n_children=jnp.asarray([1, 2, 0, 0, 0, 0, 0, 0], jnp.int32),
+        is_root=jnp.asarray([1, 0, 0, 0, 0, 0, 0, 0], bool),
+        n_nodes=jnp.int32(4),
+        kappa=jnp.asarray([4.0, 2.55, 2.9, 2.9, 4, 4, 4, 4], jnp.float32),
+        pkappa=jnp.asarray([4.0, 4.0, 2.55, 2.55, 4, 4, 4, 4], jnp.float32),
+    )
+    out = gh.murray_sweep(f, 1)
+    want = (0.2 ** 2.55 + 0.3 ** 2.55) ** (1 / 2.55)  # parent's kappa
+    got = float(out.radius[1])
+    assert abs(got - want) < 1e-6, (got, want)
+    wrong = (0.2 ** 2.9 + 0.3 ** 2.9) ** (1 / 2.9)
+    assert abs(got - wrong) > 1e-3  # distinguishes from child-kappa use
+    # leaves and the root keep their radii
+    assert float(out.radius[0]) == 1.0
+    assert float(out.radius[2]) == pytest.approx(0.2)
