@@ -194,25 +194,35 @@ def main(scope: str = "e2e"):
     if scope == "e2e":
         import sys as _sys
 
-        run_all(0)  # warmup: compiles growth + pipeline
+        # warmup compiles growth + pipeline; time it anyway — if the
+        # deadline then leaves no room for a clean rep (cold persistent
+        # compile cache), the compile-contaminated warmup time is still a
+        # number, and understating throughput beats printing nothing
+        t0 = time.perf_counter()
+        run_all(0)
+        dt_warm = time.perf_counter() - t0
+        print(f"e2e warmup(+compile): {dt_warm:.1f}s", file=_sys.stderr)
         # Best-of-up-to-4, deadline-aware: the tunneled TPU is shared and
         # contention skews single timings by up to 5x (CLAUDE.md); the min
         # is the honest capability. Reps reuse seeds {1,2} so the second
         # (1,2) pass hits exactly the warm-compiled capacity-staged growth
         # programs — the first (1,2) pass doubles as the per-seed warmup
         # (a novel seed can stage novel capacities and pay a remote
-        # compile inside the timed region). Near the deadline we stop
-        # early and keep the best rep so far: a number always gets out.
+        # compile inside the timed region). The next-rep cost forecast
+        # uses max(dts) (contention skews up to 5x — min would let one
+        # fast rep green-light a rep that blows the deadline); a number
+        # always gets out.
         dts = []
         for rep in (1, 2, 1, 2):
-            if dts and time.time() + min(dts) + 15 > _deadline():
+            budget = max(dts) * 2 if dts else dt_warm
+            if time.time() + budget + 15 > _deadline():
                 print("deadline: stopping reps early", file=_sys.stderr)
                 break
             t0 = time.perf_counter()
             run_all(rep)
             dts.append(time.perf_counter() - t0)
             print(f"e2e rep {rep}: {dts[-1]:.1f}s", file=_sys.stderr)
-        dt = min(dts)
+        dt = min(dts) if dts else dt_warm
         metric = "e2e_generate_adapt_segment_1216px_images_per_sec_per_chip"
     else:
         # adapt+segment scope over the bundled graphs (used when the
@@ -258,34 +268,54 @@ def main(scope: str = "e2e"):
 
     dice = None
     dice_clean = None
-    rider_budget_ok = time.time() + 60 < _deadline()
+
+    def _rider_budget_ok():
+        # each rider jits a fresh trained-weight program; first compiles
+        # through the flaky remote-compile endpoint can take minutes, so
+        # demand real headroom — the timing result above must reach the
+        # JSON line even if the riders never run
+        return time.time() + 150 < _deadline()
+
+    # shared rider fixtures — OUTSIDE the per-rider try blocks so a
+    # failure preparing one rider cannot break the other
+    rider_prep = None
     try:
-        if not rider_budget_ok:
+        import glob as _glob
+
+        from octa_tpu.ops import raster
+
+        paths = sorted(_glob.glob("datasets/vessel_graphs/*.csv"))[:8]
+        if paths:
+            samples = [raster.parse_graph_csv(p) for p in paths]
+            prep = _pad_batch_edges(samples, RES_IN, RES_LAB)
+            rider_prep = ([jnp.asarray(x) for x in prep["in"]],
+                          [jnp.asarray(x) for x in prep["lab"]])
+    except Exception as e:
+        print(f"rider fixtures unavailable: {e!r}", file=_sys.stderr)
+
+    def batched_dice(pass_fn):
+        (ai, bi, wi, vi), (al, bl, wl, vl) = rider_prep
+        ds = []
+        for i in range(0, ai.shape[0], BATCH):
+            s = slice(i, i + BATCH)
+            ds.append(pass_fn(ai[s], bi[s], wi[s], vi[s],
+                              al[s], bl[s], wl[s], vl[s]))
+        return round(float(jnp.mean(jnp.concatenate(ds))), 4)
+
+    def _dice(pred, lab):
+        inter = jnp.sum(pred & lab, axis=(1, 2))
+        return (2 * inter
+                / jnp.maximum(jnp.sum(pred, (1, 2))
+                              + jnp.sum(lab, (1, 2)), 1))
+
+    try:
+        if rider_prep is None:
+            raise RuntimeError("no rider fixtures")
+        if not _rider_budget_ok():
             raise RuntimeError("skipped: bench deadline too close")
         import glob as _glob
 
         from octa_tpu.io.checkpoints import load_checkpoint, restore_like
-        from octa_tpu.ops import raster
-
-        paths = sorted(_glob.glob("datasets/vessel_graphs/*.csv"))[:8]
-        samples = [raster.parse_graph_csv(p) for p in paths]
-        prep = _pad_batch_edges(samples, RES_IN, RES_LAB)
-        (ai, bi, wi, vi) = [jnp.asarray(x) for x in prep["in"]]
-        (al, bl, wl, vl) = [jnp.asarray(x) for x in prep["lab"]]
-
-        def batched_dice(pass_fn):
-            ds = []
-            for i in range(0, len(paths), BATCH):
-                s = slice(i, i + BATCH)
-                ds.append(pass_fn(ai[s], bi[s], wi[s], vi[s],
-                                  al[s], bl[s], wl[s], vl[s]))
-            return round(float(jnp.mean(jnp.concatenate(ds))), 4)
-
-        def _dice(pred, lab):
-            inter = jnp.sum(pred & lab, axis=(1, 2))
-            return (2 * inter
-                    / jnp.maximum(jnp.sum(pred, (1, 2))
-                                  + jnp.sum(lab, (1, 2)), 1))
 
         # -- adapted path: trained G + jointly-trained S ------------------
         gan_dir = os.environ.get("OCTA_TPU_BENCH_GAN_DIR")
@@ -325,7 +355,9 @@ def main(scope: str = "e2e"):
         print(f"adapted-path dice rider unavailable: {e!r}", file=_sys.stderr)
 
     try:
-        if not rider_budget_ok:
+        if rider_prep is None:
+            raise RuntimeError("no rider fixtures")
+        if not _rider_budget_ok():  # re-check: the first rider spent time
             raise RuntimeError("skipped: bench deadline too close")
         import glob as _glob
 

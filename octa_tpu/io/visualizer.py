@@ -299,8 +299,10 @@ def _plain(obj):
         return {str(k): _plain(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):
         return [_plain(v) for v in obj]
+    # numpy scalars BEFORE the float check: np.float64 subclasses float and
+    # would otherwise pass through raw, crashing yaml.safe_dump
+    if isinstance(obj, np.generic):
+        return obj.item()
     if isinstance(obj, (str, int, float, bool)) or obj is None:
         return obj
-    if isinstance(obj, np.generic):  # numpy scalars (e.g. HPO-injected)
-        return obj.item()
     return str(obj)

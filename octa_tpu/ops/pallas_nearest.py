@@ -45,7 +45,7 @@ def _nearest_kernel(q_ref, pt_ref, pen_ref, *out_refs, n_blk: int,
 
     q_ref:   [1, TQ, 3] f32 — query tile.
     pt_ref:  [1, 3, N]  f32 — transposed points for this row (whole).
-    pen_ref: [1, M, N]  f32 — per-mask additive penalties (|p|² + BIG·invalid).
+    pen_ref: [1, M, N]  f32 — per-mask additive penalties (BIG·invalid).
     out_refs: per mask, d² [1, TQ] f32 (+ argmin idx [1, TQ] i32 when
     ``want_idx``).
     """

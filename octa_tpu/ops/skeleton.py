@@ -119,24 +119,25 @@ def _shifted(x, off):
 
 def _count_components(occ, adj, hops, seed_flag=None):
     """Per-voxel connected-component count over a fixed small neighborhood
-    graph, via min-label propagation (exact: ``hops`` >= graph diameter).
+    graph, via min-label propagation (exact: converges when no label
+    changes, bounded by ``hops`` >= graph diameter; typical configurations
+    settle in <= 6 hops, so the loop early-exits on a fixed point).
 
     occ: [K, D, H, W] bool — occupancy of the K neighborhood positions.
     adj: adjacency lists among the K positions.
     seed_flag: optional [K] bool — when given, only components containing
     a flagged position are counted (the "6-adjacent to p" condition).
-    Returns [D, H, W] int32 component counts."""
+    Returns [D, H, W] int8 component counts. Labels are int8 (K <= 26)."""
     k_n = len(adj)
-    big = jnp.int32(k_n)
-    lab0 = jnp.where(occ, jnp.arange(k_n, dtype=jnp.int32)[:, None, None,
-                                                           None], big)
+    big = jnp.int8(k_n)
+    ids = jnp.arange(k_n, dtype=jnp.int8)[:, None, None, None]
+    lab0 = jnp.where(occ, ids, big)
     if seed_flag is not None:
         flag0 = occ & jnp.asarray(seed_flag)[:, None, None, None]
     else:
         flag0 = None
 
-    def hop(_, carry):
-        lab, flag = carry
+    def hop_once(lab, flag):
         new_lab = []
         new_flag = []
         for i in range(k_n):
@@ -150,12 +151,24 @@ def _count_components(occ, adj, hops, seed_flag=None):
         return (jnp.stack(new_lab),
                 jnp.stack(new_flag) if flag is not None else None)
 
-    lab, flag = jax.lax.fori_loop(0, hops, hop, (lab0, flag0))
-    roots = occ & (lab == jnp.arange(k_n, dtype=jnp.int32)[:, None, None,
-                                                           None])
+    def cond(state):
+        i, _, _, changed = state
+        return changed & (i < hops)
+
+    def body(state):
+        i, lab, flag, _ = state
+        new_lab, new_flag = hop_once(lab, flag)
+        changed = jnp.any(new_lab != lab)
+        if flag is not None:
+            changed = changed | jnp.any(new_flag != flag)
+        return i + 1, new_lab, new_flag, changed
+
+    _, lab, flag, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), lab0, flag0, jnp.array(True)))
+    roots = occ & (lab == ids)
     if flag is not None:
         roots = roots & flag
-    return jnp.sum(roots.astype(jnp.int32), axis=0)
+    return jnp.sum(roots.astype(jnp.int8), axis=0)
 
 
 def _simple_and_endpoint(x):
@@ -180,8 +193,14 @@ def _simple_and_endpoint(x):
     return simple, endpoint
 
 
-@jax.jit
-def skeletonize_3d(vol: jax.Array) -> jax.Array:
+def _deletable(x):
+    """simple & ~endpoint mask for a binary volume [D, H, W]."""
+    simple, endpoint = _simple_and_endpoint(x)
+    return simple & ~endpoint
+
+
+@functools.partial(jax.jit, static_argnames=("slab",))
+def skeletonize_3d(vol: jax.Array, slab: int | None = None) -> jax.Array:
     """Curve thinning of a binary volume [D, H, W] to its medial lines
     (the role of skimage's ``skeletonize(method='lee')`` in the
     reference's 3D clDice, ``utils/cldice.py:31-33``).
@@ -192,11 +211,40 @@ def skeletonize_3d(vol: jax.Array) -> jax.Array:
     simultaneously equals deleting them sequentially — each deletion is
     topology-preserving by the simple-point property, with no sequential
     re-check loop (the TPU-hostile part of Lee's method). Iterates 8-
-    subfield sweeps until a fixed point. Returns uint8."""
+    subfield sweeps until a fixed point. Returns uint8.
+
+    Memory: the simple-point test carries a [26, D, H, W] label state, so
+    for large volumes (the shipped 3D-recon family evaluates [44, 1216,
+    1216] — 65M voxels, a ~1.7 GB state) the deletable mask is computed
+    in z-slabs with a 1-voxel halo via ``lax.map`` (the mask at plane z
+    depends only on planes z-1..z+1), bounding the state to
+    [26, slab+2, H, W]. ``slab`` is auto-picked to keep that under
+    ~160 MB; pass it explicitly to override. Expect tens of seconds per
+    full-resolution volume on a v5e — this is a once-per-evaluation
+    metric, not a training-step op."""
     x0 = vol > 0
     d, h, w = x0.shape
+    if slab is None:
+        budget = 160e6 // max(26 * h * w, 1)  # int8 label-state planes
+        slab = int(max(1, min(d, budget - 2)))
+    n_slabs = -(-d // slab)
+    d_pad = n_slabs * slab
     gz, gy, gx = jnp.meshgrid(jnp.arange(d), jnp.arange(h), jnp.arange(w),
                               indexing="ij")
+
+    if n_slabs == 1:
+        deletable = _deletable
+    else:
+        def deletable(x):
+            # halo-padded slabs: plane z's mask needs planes z-1..z+1
+            xp = jnp.pad(x, ((1, 1 + d_pad - d), (0, 0), (0, 0)))
+
+            def one(i):
+                xs = jax.lax.dynamic_slice_in_dim(xp, i * slab, slab + 2, 0)
+                return _deletable(xs)[1:-1]
+
+            masks = jax.lax.map(one, jnp.arange(n_slabs))
+            return masks.reshape(d_pad, h, w)[:d]
 
     def sweep(x):
         changed = jnp.array(False)
@@ -204,8 +252,7 @@ def skeletonize_3d(vol: jax.Array) -> jax.Array:
             for py in (0, 1):
                 for px in (0, 1):
                     sf = (gz % 2 == pz) & (gy % 2 == py) & (gx % 2 == px)
-                    simple, endpoint = _simple_and_endpoint(x)
-                    kill = simple & ~endpoint & sf
+                    kill = deletable(x) & sf
                     changed = changed | jnp.any(kill)
                     x = x & ~kill
         return x, changed

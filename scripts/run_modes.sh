@@ -24,7 +24,9 @@ case "$MODE" in
     # test.py -> label render). Uses the newest joint-GAN training run's
     # config snapshot (its Output.save_dir holds the checkpoints);
     # override with GAN_RUN_DIR.
-    GAN_RUN=${GAN_RUN_DIR:-$(ls -d results/recipe_gan_ves_seg/*/ 2>/dev/null | sort | tail -1)}
+    # `|| true` guards set -e/pipefail: with no trained run the ls exits 2
+    # and would otherwise kill the whole generation mode here
+    GAN_RUN=${GAN_RUN_DIR:-$(ls -d results/recipe_gan_ves_seg/*/ 2>/dev/null | sort | tail -1 || true)}
     if [ -n "${GAN_RUN:-}" ] && [ -f "${GAN_RUN%/}/config.yml" ]; then
       python test.py --config_file "${GAN_RUN%/}/config.yml" \
         --General.inference G --epoch latest \

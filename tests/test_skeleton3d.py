@@ -170,3 +170,14 @@ def test_cl_dice_3d_volumetric():
     assert float(cl_dice(jnp.asarray(v), jnp.asarray(v))) == 1.0
     shifted = np.roll(v, 3, axis=1)
     assert float(cl_dice(jnp.asarray(shifted), jnp.asarray(v))) < 0.9
+
+
+def test_skeleton3d_slab_chunking_bit_exact():
+    """The memory-bounded z-slab path (halo-1 lax.map, used for large
+    volumes like the 3D-recon family's [44,1216,1216]) must match the
+    full-volume computation voxel-for-voxel."""
+    for name, v in _volumes()[:3]:
+        full = np.asarray(skeletonize_3d(jnp.asarray(v)))
+        for slab in (1, 2, 3):
+            chunked = np.asarray(skeletonize_3d(jnp.asarray(v), slab=slab))
+            assert (full == chunked).all(), (name, slab)
