@@ -293,6 +293,32 @@ def plot_single_image(save_dir: str, image: np.ndarray, name: str):
         os.path.join(save_dir, name if name.endswith(".png") else name + ".png"))
 
 
+def plot_comparison(save_dir: str, image: np.ndarray, prediction: np.ndarray,
+                    name: str, path: str = ""):
+    """Side-by-side input/prediction figure next to a prediction
+    (reference ``test.py:88-89`` with ``save_comparisons``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    os.makedirs(save_dir, exist_ok=True)
+    fig, axes = plt.subplots(1, 2, figsize=(12, 6))
+    for ax, (title, arr) in zip(axes, (("image", image),
+                                       ("prediction", prediction))):
+        a = np.asarray(arr, np.float32).squeeze()
+        if a.ndim == 3:
+            a = a.max(axis=-1)  # MIP for 3D volumes
+        ax.imshow(a, cmap="gray")
+        ax.set_title(title)
+        ax.axis("off")
+    if path:
+        fig.suptitle(os.path.basename(str(path)))
+    fig.tight_layout()
+    fig.savefig(os.path.join(
+        save_dir, name if name.endswith(".png") else name + ".png"))
+    plt.close(fig)
+
+
 def _plain(obj):
     """YAML-safe plain structure (drop non-serializable values)."""
     if isinstance(obj, dict):

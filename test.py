@@ -20,7 +20,7 @@ if __name__ == "__main__":
     import numpy as np
 
     from octa_tpu.data.dataset import get_dataset, get_post_transformation
-    from octa_tpu.io.visualizer import plot_single_image
+    from octa_tpu.io.visualizer import plot_comparison, plot_single_image
     from octa_tpu.train.algorithms import define_model
     from octa_tpu.utils.enums import Phase
 
@@ -49,6 +49,14 @@ if __name__ == "__main__":
         img_name = os.path.splitext(img_name)[0] + ".png"
         plot_single_image(save_dir, np.asarray(outputs["prediction"][0]),
                           f"{inference_mode}_{img_name}")
+        if config[Phase.TEST].get("save_comparisons"):
+            # side-by-side input/prediction next to the prediction
+            # (reference test.py:88-89)
+            plot_comparison(
+                save_dir, np.asarray(mini_batch[input_key][0]),
+                np.asarray(outputs["prediction"][0]),
+                f"comparison_{inference_mode}_{img_name}",
+                path=mini_batch.get(input_key + "_path", [""])[0])
         num += 1
         if args.num_samples is not None and num >= args.num_samples:
             break

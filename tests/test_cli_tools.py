@@ -189,3 +189,30 @@ def test_bayesopt_noise_sha_resume(tmp_path):
     with open(os.path.join(r2["trial_dir"], "metrics.csv")) as f:
         rows = f.read().strip().splitlines()
     assert len(rows) == 1 + 2  # header + carried epoch 0 + resumed epoch 1
+
+
+def test_testpy_cli_writes_predictions_and_comparisons(tmp_path):
+    """test.py end-to-end: per-image `{inference_mode}_{name}.png`
+    predictions plus side-by-side comparison plots when
+    Test.save_comparisons is set (reference test.py:82-89)."""
+    import glob as _glob
+
+    from octa_tpu.train.engine import train
+    from tests.test_train_seg import Args, _config
+
+    cfg = _config(tmp_path, res=64, epochs=1, n_files=4)
+    run_dir = train(Args(), cfg)
+
+    env = dict(ENV, OCTA_TPU_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, "test.py",
+         "--config_file", os.path.join(run_dir, "config.yml"),
+         "--epoch", "latest", "--num_samples", "2",
+         "--Test.save_comparisons", "true"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560)
+    assert r.returncode == 0, r.stderr[-2000:]
+    test_dir = os.path.join(run_dir, "test")
+    preds = _glob.glob(os.path.join(test_dir, "model_*.png"))
+    comps = _glob.glob(os.path.join(test_dir, "comparison_model_*.png"))
+    assert len(preds) == 2, (preds, r.stderr[-500:])
+    assert len(comps) == 2, comps
