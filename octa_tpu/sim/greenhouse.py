@@ -657,12 +657,11 @@ def murray_sweep(forest: ForestState, sweeps: int,
     trunk radii in the oxygen-distance candidate rejection), which the
     statistical parity tests gate."""
     nc = forest.pos.shape[-2]
-    # The kernel route is gated off by default until its effect inside the
-    # full scan-nested growth program is measured on hardware (the shared
-    # tunnel was down when it was wired up): flip with
-    # OCTA_TPU_MURRAY_KERNEL=1. Standalone, the F=1 kernel beats the
-    # scatter ~3x at growth shapes (see ops/pallas_segsum.py).
-    gate = _os.environ.get("OCTA_TPU_MURRAY_KERNEL", "0") == "1"
+    # The kernel route is the TPU default: measured inside the full
+    # scan-nested growth program it wins 1311.5 vs 1472.8 ms/sample on the
+    # docker schedule at batch 32 (2026-08-18 A/B, docs/PERF_LOG.md).
+    # Opt out with OCTA_TPU_MURRAY_KERNEL=0 (e.g. to re-run the A/B).
+    gate = _os.environ.get("OCTA_TPU_MURRAY_KERNEL", "1") == "1"
     use_kernel = (_use_pallas() and gate) if exact is None else not exact
 
     def murray(i, f: ForestState):

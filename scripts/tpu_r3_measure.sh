@@ -14,7 +14,7 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/tpu_r3_measure.log}
-CFG=configs/vessel_graph_gen_docker_config.yml
+CFG=docker/vessel_graph_gen_docker_config.yml
 {
   echo "=== tpu_r3_measure start $(date -Is) ==="
   echo "--- step 1: bench_growth murray=scatter ---"
