@@ -202,19 +202,35 @@ def main(scope: str = "e2e"):
         run_all(0)
         dt_warm = time.perf_counter() - t0
         print(f"e2e warmup(+compile): {dt_warm:.1f}s", file=_sys.stderr)
+        # Provisional line NOW (flushed): if contention blows a rep past
+        # the subprocess kill, the orchestrator salvages partial stdout
+        # and still has a (compile-contaminated, understated) number.
+        print(json.dumps({
+            "metric": "e2e_generate_adapt_segment_1216px_images_per_sec"
+                      "_per_chip",
+            "value": round(N_IMAGES / dt_warm, 3), "unit": "img/s/chip",
+            "vs_baseline": round(N_IMAGES / dt_warm / baseline, 3),
+            "dice": None, "dice_clean": None,
+            "note": "provisional: compile-contaminated warmup"},
+        ), flush=True)
         # Best-of-up-to-4, deadline-aware: the tunneled TPU is shared and
         # contention skews single timings by up to 5x (CLAUDE.md); the min
-        # is the honest capability. Reps reuse seeds {1,2} so the second
-        # (1,2) pass hits exactly the warm-compiled capacity-staged growth
-        # programs — the first (1,2) pass doubles as the per-seed warmup
-        # (a novel seed can stage novel capacities and pay a remote
-        # compile inside the timed region). The next-rep cost forecast
-        # uses max(dts) (contention skews up to 5x — min would let one
-        # fast rep green-light a rep that blows the deadline); a number
-        # always gets out.
+        # is the honest capability. The first two timed reps REUSE the
+        # warmup seed: its capacity-staged growth programs are guaranteed
+        # compiled even from a fully cold persistent cache (the workspace
+        # and ~/.cache are reset between driver sessions), so a clean
+        # warm-execution number gets out of every run. Later reps switch
+        # seeds for data variance — a novel seed can stage novel
+        # capacities and pay a remote compile inside its timed region,
+        # which min() then discards. Forecasts: the first rep reuses the
+        # warmup seed IN THE SAME PROCESS, so it cannot recompile — its
+        # cost is pure execution, well under the compile-dominated dt_warm
+        # (measured: 380-400 s cold warmups with ~45-60 s warm reps; the
+        # old 0.6x forecast blocked reps that would have fit). Afterwards
+        # 1.3x the slowest observed rep.
         dts = []
-        for rep in (1, 2, 1, 2):
-            budget = max(dts) * 2 if dts else dt_warm
+        for rep in (0, 0, 1, 2):
+            budget = max(dts) * 1.3 if dts else max(100.0, dt_warm * 0.3)
             if time.time() + budget + 15 > _deadline():
                 print("deadline: stopping reps early", file=_sys.stderr)
                 break
@@ -318,6 +334,12 @@ def main(scope: str = "e2e"):
         from octa_tpu.io.checkpoints import load_checkpoint, restore_like
 
         # -- adapted path: trained G + jointly-trained S ------------------
+        # Resolution order: env override -> newest recipe run under
+        # results/ (gitignored, wiped between driver sessions) -> the
+        # checkpoints shipped in-repo at docker/trained_models (the
+        # reference ships its trained models the same way,
+        # /root/reference/docker/trained_models).
+        g_ckpt = s_ckpt = None
         gan_dir = os.environ.get("OCTA_TPU_BENCH_GAN_DIR")
         if not gan_dir:
             cands = sorted(_glob.glob(
@@ -325,14 +347,20 @@ def main(scope: str = "e2e"):
                 "latest_generator_model.ckpt"))
             gan_dir = cands[-1].rsplit("/", 2)[0] if cands else None
         if gan_dir:
+            g_ckpt = f"{gan_dir}/checkpoints/latest_generator_model.ckpt"
+            s_ckpt = f"{gan_dir}/checkpoints/latest_segmentor_model.ckpt"
+        else:
+            g_ship = sorted(_glob.glob(
+                "docker/trained_models/GAN/*_G_model.ckpt"))
+            s_ship = sorted(_glob.glob(
+                "docker/trained_models/ves_seg-S-GAN/*_model.ckpt"))
+            if g_ship and s_ship:
+                g_ckpt, s_ckpt = g_ship[-1], s_ship[-1]
+        if g_ckpt:
             g_params = restore_like(
-                gv["params"],
-                load_checkpoint(f"{gan_dir}/checkpoints/"
-                                "latest_generator_model.ckpt")["model"])
+                gv["params"], load_checkpoint(g_ckpt)["model"])
             s_params = restore_like(
-                sv["params"],
-                load_checkpoint(f"{gan_dir}/checkpoints/"
-                                "latest_segmentor_model.ckpt")["model"])
+                sv["params"], load_checkpoint(s_ckpt)["model"])
 
             @jax.jit
             def adapted_pass(ai, bi, wi, vi, al, bl, wl, vl):
@@ -367,7 +395,9 @@ def main(scope: str = "e2e"):
             _glob.glob("results/recipe_seg_supervised/*/checkpoints/"
                        "best_model_model.ckpt")
             + _glob.glob("results/recipe_seg_supervised/*/checkpoints/"
-                         "best_segmentor_model.ckpt"))
+                         "best_segmentor_model.ckpt")
+        ) or sorted(_glob.glob(  # in-repo shipped supervised segmentor
+            "docker/trained_models/ves_seg-supervised/*_model.ckpt"))
         ckpt = os.environ.get("OCTA_TPU_BENCH_CKPT") or (
             ckpts[-1] if ckpts else None)
         if ckpt:
@@ -405,7 +435,7 @@ def main(scope: str = "e2e"):
         "vs_baseline": round(imgs_per_sec / baseline, 3),
         "dice": dice,
         "dice_clean": dice_clean,
-    }))
+    }), flush=True)
 
 
 def _orchestrate():
@@ -429,21 +459,36 @@ def _orchestrate():
             r = subprocess.run(
                 [sys.executable, __file__, "--scope", scope],
                 capture_output=True, text=True, timeout=budget, env=env)
-        except subprocess.TimeoutExpired:
-            return None
-        sys.stderr.write(r.stderr or "")
-        for line in reversed((r.stdout or "").strip().splitlines()):
+            out, err = r.stdout, r.stderr
+        except subprocess.TimeoutExpired as e:
+            # salvage the provisional line the scope flushed after warmup
+            def _txt(x):
+                return x.decode(errors="replace") if isinstance(x, bytes) \
+                    else (x or "")
+            out, err = _txt(e.stdout), _txt(e.stderr)
+        sys.stderr.write(err or "")
+        for line in reversed((out or "").strip().splitlines()):
             if line.startswith("{"):
                 return line
         return None
 
-    try:
-        r = subprocess.run(
-            [sys.executable, __file__, "--scope", "probe"],
-            capture_output=True, text=True, timeout=PROBE_TIMEOUT)
-        tpu_ok = "PROBE_OK" in (r.stdout or "")
-    except subprocess.TimeoutExpired:
-        tpu_ok = False
+    # Up to 3 probe attempts, each in a FRESH subprocess: a TPU process
+    # exiting moments earlier transiently wedges the shared tunnel
+    # (observed: a probe 80 s after a clean growth-run exit fails, the
+    # next one succeeds), and a wedged JAX client never recovers
+    # in-process. Only a genuine outage fails all three.
+    tpu_ok = False
+    for attempt in range(3):
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--scope", "probe"],
+                capture_output=True, text=True, timeout=PROBE_TIMEOUT)
+            tpu_ok = "PROBE_OK" in (r.stdout or "")
+        except subprocess.TimeoutExpired:
+            tpu_ok = False
+        if tpu_ok:
+            break
+        time.sleep(10)
     if not tpu_ok:
         print(json.dumps({
             "metric": "bench_unavailable", "value": 0.0,

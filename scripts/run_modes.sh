@@ -32,6 +32,13 @@ case "$MODE" in
         --General.inference G --epoch latest \
         --Test.data.real_A.files "./results/vessel_graphs/*.csv" \
         --Test.save_dir ./results/images
+    elif ls docker/trained_models/GAN/*_G_model.ckpt >/dev/null 2>&1; then
+      # no training run on disk — use the checkpoint shipped in-repo
+      # (mirrors the reference docker image, which ships trained_models/GAN)
+      python test.py --config_file docker/trained_models/GAN/config.yml \
+        --Test.model_path "$(ls docker/trained_models/GAN/*_G_model.ckpt | sort | tail -1)" \
+        --Test.data.real_A.files "./results/vessel_graphs/*.csv" \
+        --Test.save_dir ./results/images
     else
       echo "[warn] no trained GAN run under results/recipe_gan_ves_seg" \
            "(set GAN_RUN_DIR to a run dir with config.yml + checkpoints);" \
