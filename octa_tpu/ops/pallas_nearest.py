@@ -21,11 +21,15 @@ advantage (avoiding a [Q, chunk, 3] HBM intermediate) is moot here.
 
 Masks are passed as additive penalties: ``pen = BIG * (1 - mask)``, so
 ``d² + pen`` is one add per mask and invalid points sort to ~1e30
-(callers treat sqrt(1e30) as "no neighbor").
+(callers treat sqrt(1e30) as "no neighbor"). With ``OCTA_TPU_PEN_BF16=1``
+(read at trace time) the penalty array is bf16 — its only values, 0.0 and
+~BIG, need no mantissa, and bf16 halves the [R, M, N] HBM write+read the
+materialized input costs per call, upcasting to f32 on the in-kernel add.
 """
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -69,7 +73,10 @@ def _nearest_kernel(q_ref, pt_ref, pen_ref, *out_refs, n_blk: int,
         base = d0 * d0 + d1 * d1 + d2_ * d2_      # [TQ, blk]
         new = []
         for m in range(n_masks):
-            pen = pen_ref[0, m, pl.ds(j * blk, blk)]
+            # pen arrives bf16 (halves its HBM write+read per call — the
+            # values are only 0.0 and BIG, both exact in bf16) and
+            # upcasts on the VPU add.
+            pen = pen_ref[0, m, pl.ds(j * blk, blk)].astype(jnp.float32)
             dm = base + pen[None, :]
             bmin = jnp.min(dm, axis=1)
             if want_idx:
@@ -135,8 +142,14 @@ def masked_nearest_pallas(query, points, masks, *, want_idx: bool = True,
                                                 (0, 0)))
     pts = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, n_pad - n),
                                                (0, 0)))
+    # bf16 penalties (0.0 and ~BIG are exact in bf16) halve the mask
+    # input's HBM write+read. Gated until the Mosaic lowering is
+    # A/B-validated on hardware — the f32 default is the proven path.
+    pen_dt = (jnp.bfloat16 if _os.environ.get("OCTA_TPU_PEN_BF16") == "1"
+              else jnp.float32)
     pen = jnp.where(
-        jnp.pad(masks, ((0, 0), (0, 0), (0, n_pad - n))), 0.0, BIG)
+        jnp.pad(masks, ((0, 0), (0, 0), (0, n_pad - n))),
+        pen_dt(0.0), pen_dt(BIG))
     pts_t = jnp.swapaxes(pts, 1, 2)               # [R, 3, N]
 
     n_q_tiles = q_pad // tq
