@@ -20,8 +20,12 @@ outages are documented in CLAUDE.md): the orchestrator first runs a
 60-s-bounded 256² matmul probe in a subprocess; on outage it prints a
 `tpu_unavailable` JSON line immediately instead of hanging. Each scope
 gets a hard subprocess timeout, and the scope process itself watches an
-OCTA_BENCH_DEADLINE so it emits its JSON line before the kill. Worst-case
-total wall: probe 75 s + e2e 620 s + fallback 240 s ≈ 15.6 min.
+OCTA_BENCH_DEADLINE so it emits its JSON line before the kill. The scopes
+additionally FLUSH provisional JSON lines mid-warmup (after growth, and
+after full warmup) so that even a fully cold persistent compile cache —
+where remote compiles alone can eat ~10 min (observed: 424.5 s for the
+growth warmup) — still salvages a measured number. Hard total wall:
+900 s (probes + e2e + fallback all draw from one budget pool).
 """
 from __future__ import annotations
 
@@ -33,8 +37,9 @@ import numpy as np
 import yaml
 
 PROBE_TIMEOUT = 75      # seconds for the 256² matmul outage probe
-E2E_TIMEOUT = 620       # warmup + up-to-4 timed reps fits comfortably
-ADAPT_TIMEOUT = 240     # fallback scope (no growth stage)
+TOTAL_WALL = 900        # hard budget for the whole bench (≤ 15 min)
+E2E_TIMEOUT = 620       # cap: warmup + up-to-4 timed reps fits comfortably
+ADAPT_RESERVE = 280     # wall kept back for the fallback scope
 DEADLINE_MARGIN = 45    # scope emits JSON this long before its kill
 
 
@@ -167,15 +172,32 @@ def main(scope: str = "e2e"):
                     growth_batch[0] //= 2
         return batches
 
-    def run_all(seed):
+    def run_all(seed, provisional_after_grow=False):
         import sys as _sys
         outs = []
         step = 0
         t_g0 = time.perf_counter()
         batches = grow(seed, N_IMAGES)
         jax.block_until_ready([t[0] for t in batches])
-        print(f"  grow+extract: {time.perf_counter() - t_g0:.1f}s",
-              file=_sys.stderr)
+        dt_grow = time.perf_counter() - t_g0
+        print(f"  grow+extract: {dt_grow:.1f}s", file=_sys.stderr)
+        if provisional_after_grow:
+            # From a fully cold persistent compile cache the growth warmup
+            # alone can eat ~7 min of remote compiles (observed 424.5 s)
+            # and the adapt+segment compile that follows can outlive the
+            # scope budget — flush a growth-stage-only provisional line
+            # NOW so a mid-warmup kill still salvages a measured number.
+            print(json.dumps({
+                "metric": "e2e_generate_adapt_segment_1216px_images_per"
+                          "_sec_per_chip",
+                "value": round(N_IMAGES / dt_grow, 3),
+                "unit": "img/s/chip",
+                "vs_baseline": round(N_IMAGES / dt_grow / (500 / 120 / 8),
+                                     3),
+                "dice": None, "dice_clean": None,
+                "note": "provisional: growth stage only, compile-"
+                        "contaminated warmup; adapt+segment not yet timed",
+            }), flush=True)
         for (a, b, w, v) in batches:
             # ceil-chunk so fault-halved growth batches still segment every
             # sample (the final chunk pads by wrapping; metric honesty:
@@ -199,7 +221,7 @@ def main(scope: str = "e2e"):
         # compile cache), the compile-contaminated warmup time is still a
         # number, and understating throughput beats printing nothing
         t0 = time.perf_counter()
-        run_all(0)
+        run_all(0, provisional_after_grow=True)
         dt_warm = time.perf_counter() - t0
         print(f"e2e warmup(+compile): {dt_warm:.1f}s", file=_sys.stderr)
         # Provisional line NOW (flushed): if contention blows a rep past
@@ -239,6 +261,7 @@ def main(scope: str = "e2e"):
             dts.append(time.perf_counter() - t0)
             print(f"e2e rep {rep}: {dts[-1]:.1f}s", file=_sys.stderr)
         dt = min(dts) if dts else dt_warm
+        contaminated = not dts  # deadline killed every rep: warmup number
         metric = "e2e_generate_adapt_segment_1216px_images_per_sec_per_chip"
     else:
         # adapt+segment scope over the bundled graphs (used when the
@@ -263,7 +286,22 @@ def main(scope: str = "e2e"):
                 outs.append(pred)
             return float(jnp.sum(outs[-1]))
 
+        import sys as _sys
+        t0 = time.perf_counter()
         run_pipe()
+        dt_warm = time.perf_counter() - t0
+        print(f"adapt_segment warmup(+compile): {dt_warm:.1f}s",
+              file=_sys.stderr)
+        # provisional line NOW: a cold persistent compile cache can spend
+        # the whole fallback budget inside the warmup compile — flush the
+        # compile-contaminated number so a kill still salvages something
+        print(json.dumps({
+            "metric": "adapt_segment_1216px_images_per_sec_per_chip",
+            "value": round(N_IMAGES / dt_warm, 3), "unit": "img/s/chip",
+            "vs_baseline": round(N_IMAGES / dt_warm / (500 / 120 / 8), 3),
+            "dice": None, "dice_clean": None,
+            "note": "provisional: compile-contaminated warmup",
+        }), flush=True)
         t0 = time.perf_counter()
         run_pipe()
         dt = time.perf_counter() - t0
@@ -428,28 +466,42 @@ def main(scope: str = "e2e"):
         print(f"clean dice rider unavailable: {e!r}", file=_sys.stderr)
 
     imgs_per_sec = N_IMAGES / dt
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(imgs_per_sec, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(imgs_per_sec / baseline, 3),
         "dice": dice,
         "dice_clean": dice_clean,
-    }), flush=True)
+    }
+    if scope == "e2e" and contaminated:
+        # keep the provisional marker so the orchestrator knows this is a
+        # warmup-contaminated number and may still try the fallback scope
+        rec["note"] = "provisional: compile-contaminated warmup"
+    print(json.dumps(rec), flush=True)
 
 
 def _orchestrate():
-    """Driver-proof orchestration with a hard ~15-min wall budget:
+    """Driver-proof orchestration with a hard 900-s (15-min) wall budget:
       1. 75-s-bounded 256² matmul probe in a subprocess; on outage print a
          tpu_unavailable JSON line immediately (CLAUDE.md documents
          multi-hour tunnel outages — never hang the driver on one).
-      2. e2e scope (620 s subprocess budget, internal deadline so its JSON
-         gets out before the kill), else
-      3. adapt+segment fallback (240 s), else a bench_unavailable line.
-    Each scope runs in a fresh process because a device fault wedges the
-    whole JAX client. Prints exactly one JSON line."""
+      2. e2e scope (budget = what the probe left minus the fallback
+         reserve, capped at 620 s; the scope flushes provisional lines
+         after growth warmup and after full warmup, so even a cold-cache
+         kill salvages a measured number), then
+      3. adapt+segment fallback (remaining wall) — only when e2e yielded
+         nothing or only a provisional line.
+    Preference order for the single printed line: non-provisional e2e >
+    non-provisional adapt+segment (annotated with the e2e provisional if
+    one exists) > provisional e2e > provisional adapt+segment > a
+    bench_unavailable diagnostic. Each scope runs in a fresh process
+    because a device fault wedges the whole JAX client. Prints exactly
+    one JSON line."""
     import subprocess
     import sys
+
+    t_end = time.time() + TOTAL_WALL
 
     def run_scope(scope, budget):
         env = dict(os.environ,
@@ -472,13 +524,13 @@ def _orchestrate():
                 return line
         return None
 
-    # Up to 3 probe attempts, each in a FRESH subprocess: a TPU process
+    # Up to 2 probe attempts, each in a FRESH subprocess: a TPU process
     # exiting moments earlier transiently wedges the shared tunnel
     # (observed: a probe 80 s after a clean growth-run exit fails, the
     # next one succeeds), and a wedged JAX client never recovers
-    # in-process. Only a genuine outage fails all three.
+    # in-process. Only a genuine outage fails both.
     tpu_ok = False
-    for attempt in range(3):
+    for attempt in range(2):
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--scope", "probe"],
@@ -498,11 +550,34 @@ def _orchestrate():
                           "see CLAUDE.md environment hazards)"}))
         return
 
-    for scope, budget in (("e2e", E2E_TIMEOUT),
-                          ("adapt_segment", ADAPT_TIMEOUT)):
-        line = run_scope(scope, budget)
-        if line:
-            print(line)
+    def _parse(line):
+        try:
+            return json.loads(line) if line else None
+        except ValueError:
+            return None
+
+    def _is_final(rec):
+        return rec is not None and "provisional" not in str(
+            rec.get("note", ""))
+
+    e2e_budget = min(E2E_TIMEOUT, t_end - time.time() - ADAPT_RESERVE)
+    e2e = _parse(run_scope("e2e", max(e2e_budget, 60)))
+    if _is_final(e2e):
+        print(json.dumps(e2e))
+        return
+    adapt = None
+    if t_end - time.time() > 90:
+        adapt = _parse(run_scope("adapt_segment",
+                                 min(340, t_end - time.time())))
+    if _is_final(adapt):
+        if e2e is not None:  # keep the growth-stage evidence alongside
+            adapt["e2e_provisional"] = e2e.get("value")
+            adapt["e2e_provisional_note"] = e2e.get("note")
+        print(json.dumps(adapt))
+        return
+    for rec in (e2e, adapt):  # provisional beats nothing
+        if rec is not None:
+            print(json.dumps(rec))
             return
     print(json.dumps({"metric": "bench_unavailable", "value": 0.0,
                       "unit": "img/s/chip", "vs_baseline": 0.0,
