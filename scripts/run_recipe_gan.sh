@@ -46,6 +46,12 @@ EOF
   fi
   rc=$?
   echo "=== attempt $attempt exited rc=$rc ==="
+  # Ship the newest checkpoints into the repo after EVERY attempt:
+  # results/ is gitignored and wiped between driver sessions, so waiting
+  # until the run "finishes" loses the weights if the session dies first
+  # (this happened once — see docs/TRAINING_DEMO.md retention caveat).
+  python scripts/ship_trained_models.py 2>/dev/null \
+    && echo "=== shipped latest checkpoints to docker/trained_models ==="
   [ $rc -ne 0 ] && sleep 30
 done
 echo "gan recipe training did NOT complete"
