@@ -12,8 +12,15 @@ cd "$(dirname "$0")/.."
 
 case "$MODE" in
   segmentation)
-    python test.py --config_file configs/config_ves_seg-S.yml \
-      --General.inference model --epoch latest "$@"
+    # Reference docker/dockershell.sh:8 — segment with the shipped
+    # trained_models/ves_seg-S-GAN checkpoint. The shipped config's
+    # docker-internal /var/... paths are overridden to repo-relative
+    # defaults here; pass DATASET_DIR/OUT_DIR (or explicit dotted
+    # overrides in "$@") to redirect.
+    python test.py --config_file docker/trained_models/ves_seg-S-GAN/config.yml \
+      --General.inference model \
+      --Test.data.image.files "${DATASET_DIR:-datasets/images}/*.png" \
+      --Test.save_dir "${OUT_DIR:-./results/segmented}" "$@"
     ;;
   generation)
     python generate_vessel_graph.py --config_file configs/vessel_graph_gen.yml \

@@ -46,12 +46,25 @@ EOF
   fi
   rc=$?
   echo "=== attempt $attempt exited rc=$rc ==="
-  # Ship the newest checkpoints into the repo after EVERY attempt:
-  # results/ is gitignored and wiped between driver sessions, so waiting
-  # until the run "finishes" loses the weights if the session dies first
-  # (this happened once — see docs/TRAINING_DEMO.md retention caveat).
-  python scripts/ship_trained_models.py 2>/dev/null \
-    && echo "=== shipped latest checkpoints to docker/trained_models ==="
+  # Ship the furthest-along checkpoints into the repo after EVERY attempt
+  # and COMMIT them: results/ is gitignored and wiped between driver
+  # sessions, so waiting until the run "finishes" loses the weights if the
+  # session dies first (this happened twice — see docs/TRAINING_DEMO.md
+  # retention caveat). ship_trained_models.py validates both checkpoints
+  # and never regresses the shipped epoch, so running it after a killed
+  # attempt is safe.
+  if python scripts/ship_trained_models.py; then
+    echo "=== shipped latest checkpoints to docker/trained_models ==="
+    if ! git diff --quiet -- docker/trained_models \
+        || [ -n "$(git ls-files --others -- docker/trained_models)" ]; then
+      git add docker/trained_models \
+        && git commit -q -m "Ship S-GAN recipe checkpoints (auto, per-attempt)" \
+        && echo "=== committed shipped checkpoints ===" \
+        || echo "=== ship commit FAILED (non-fatal) ==="
+    fi
+  else
+    echo "=== ship FAILED rc=$? (non-fatal) ==="
+  fi
   [ $rc -ne 0 ] && sleep 30
 done
 echo "gan recipe training did NOT complete"
