@@ -57,13 +57,27 @@ def main():
     # grow as many simulations per program as memory allows
     batch = args.batch_size or min(args.num_samples, 64)
 
+    # Multi-chip: shard the simulation batch over a `data` mesh spanning
+    # all local devices (SURVEY §2.9 — the v5e-8 "500 samples < 2 min"
+    # scaling path). The sims are independent, so XLA partitions the
+    # vmapped program with no collectives; develop_forest pads the batch
+    # to a mesh multiple internally.
+    import jax
+
+    mesh = None
+    if jax.device_count() > 1:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        print(f"growth sharded over {jax.device_count()} devices")
+
     collect_stats = bool(config["output"].get("save_stats"))
     done = 0
     while done < args.num_samples:
         b = min(batch, args.num_samples - done)
         g.seed = args.seed + done
         out = g.develop_forest(config["Forest"], batch=b,
-                               collect_stats=collect_stats)
+                               collect_stats=collect_stats, mesh=mesh)
         state, stats = out if collect_stats else (out, None)
         for i in range(b):
             out_dir = prepare_output_dir(config["output"])

@@ -1033,7 +1033,7 @@ class Greenhouse:
 
     def develop_forest(self, forest_config: dict, batch: int = 1,
                        murray_sweeps: int = 4, collect_stats: bool = False,
-                       final_murray_sweeps: int = 256):
+                       final_murray_sweeps: int = 256, mesh=None):
         """Grow ``batch`` samples with **capacity staging**: the growth loop's
         dominant cost is distance computation against the node array, which
         scales with the static capacity, not the live node count. The run is
@@ -1049,14 +1049,34 @@ class Greenhouse:
         converging the radii to their exact fixed point for the final tree
         — so the output radii are exact regardless of in-loop sweep lag
         (~9 ms/sweep at 16k capacity makes per-iteration deep sweeps the
-        single most expensive part of the loop)."""
+        single most expensive part of the loop).
+
+        ``mesh``: an optional ``jax.sharding.Mesh`` with a ``data`` axis.
+        The simulations are independent and the whole segment program is
+        ``jit(vmap(...))`` over the leading batch axis, so sharding the
+        batch over ``data`` partitions every array and XLA compiles an
+        SPMD program with no cross-device collectives (the TPU answer to
+        the reference's per-CPU-core process pool,
+        ``generate_vessel_graph.py:91-134``; SURVEY §2.9). The batch is
+        padded internally to a multiple of the mesh size with extra
+        independent seeds — per-iteration cost is largely
+        batch-independent, so padding is near-free; callers read only the
+        first ``batch`` samples."""
+        n_shard = int(mesh.shape["data"]) if mesh is not None else 1
+        grown = -(-batch // n_shard) * n_shard  # pad to a mesh multiple
         cap0 = _pow2ceil(max(
             1024, 4 * forest_config.get("N_trees", 8) + 64 * self.SEG_LEN))
         states = [self.init_state(forest_config, self.seed + i,
                                   node_capacity=min(cap0, self.node_capacity),
                                   sink_capacity=min(2048, self.sink_capacity))
-                  for i in range(batch)]
+                  for i in range(grown)]
         state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            state = jax.device_put(state, self._batch_sharding)
+        else:
+            self._batch_sharding = None
 
         segments = []
         t0 = 0
@@ -1092,6 +1112,11 @@ class Greenhouse:
                         else -(-scap // 2048) * 2048)
                 scap = min(max(scap, 1024), self.sink_capacity)
                 seg_state = _resize_sinks(_resize_forests(state, cap), scap)
+                if self._batch_sharding is not None:
+                    # the eager resize pads can drop the batch sharding;
+                    # re-pin so the segment compiles SPMD over `data`
+                    seg_state = jax.device_put(seg_state,
+                                               self._batch_sharding)
                 # clear saturation bits at segment entry: ``sat`` is OR-
                 # accumulated inside the scan, and a sticky bit from an
                 # earlier (already redone) segment would trigger spurious
