@@ -195,3 +195,168 @@ def masked_nearest_pallas(query, points, masks, *, want_idx: bool = True,
         return d, jnp.minimum(i, n - 1)
     d = jnp.concatenate(res, axis=1)
     return jnp.sqrt(jnp.maximum(d, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Banded variant: spatially-pruned point blocks
+# ---------------------------------------------------------------------------
+
+def _banded_kernel(ylo_ref, yhi_ref, plo_ref, phi_ref, q_ref, pt_ref,
+                   pen_ref, *out_refs, n_blk: int, blk: int,
+                   want_idx: bool):
+    """Banded nearest kernel: one grid step = one (row, query-tile), M=1.
+
+    Identical math to ``_nearest_kernel`` except each point block ``j`` is
+    predicated on a y-interval overlap test: the caller guarantees every
+    consumer of the result only uses distances ``<= band`` (the per-query
+    bounds ylo/yhi already carry the ±band margin), so a block whose point
+    y-range cannot intersect the tile's banded y-range contributes only
+    pairs with d > band and may be skipped EXACTLY — the skipped pairs sort
+    to +inf, above every in-band distance. This turns the VPU work from
+    Q x N into Q x (nodes within the band), ~4x less late in DVC when the
+    arrays are y-sorted (see greenhouse._restage_spatial).
+
+    ylo/yhi: [1, 1, 1, TQ] f32 — per-query banded y bounds (dead queries
+             carry +inf/-inf); the tile range is an in-kernel min/max, so
+             no grid-index arithmetic is needed (vmap prepends grid dims).
+    plo/phi: [1, 1, n_blk] f32 in SMEM — per-point-block y-range.
+    """
+    lo = jnp.min(ylo_ref[0, 0, 0])
+    hi = jnp.max(yhi_ref[0, 0, 0])
+    q = q_ref[0]                                  # [TQ, 3]
+    tq = q.shape[0]
+    qa = [q[:, a] for a in range(3)]
+
+    def body(j, carry):
+        hit = (phi_ref[0, 0, j] >= lo) & (plo_ref[0, 0, j] <= hi)
+
+        def compute(c):
+            p0 = pt_ref[0, 0, pl.ds(j * blk, blk)]
+            p1 = pt_ref[0, 1, pl.ds(j * blk, blk)]
+            p2 = pt_ref[0, 2, pl.ds(j * blk, blk)]
+            d0 = qa[0][:, None] - p0[None, :]
+            d1 = qa[1][:, None] - p1[None, :]
+            d2_ = qa[2][:, None] - p2[None, :]
+            base = d0 * d0 + d1 * d1 + d2_ * d2_  # [TQ, blk]
+            pen = pen_ref[0, 0, pl.ds(j * blk, blk)].astype(jnp.float32)
+            dm = base + pen[None, :]
+            bmin = jnp.min(dm, axis=1)
+            cd = c[0]
+            upd = bmin < cd
+            if want_idx:
+                iota = jax.lax.broadcasted_iota(jnp.int32, (tq, blk), 1)
+                bidx = jnp.min(
+                    jnp.where(dm <= bmin[:, None], iota, blk), axis=1
+                ) + j * blk
+                return (jnp.where(upd, bmin, cd),
+                        jnp.where(upd, bidx, c[1]))
+            return (jnp.where(upd, bmin, cd),)
+
+        return jax.lax.cond(hit, compute, lambda c: c, carry)
+
+    init = (jnp.full((tq,), jnp.inf, jnp.float32),)
+    if want_idx:
+        init += (jnp.zeros((tq,), jnp.int32),)
+    res = jax.lax.fori_loop(0, n_blk, body, init)
+    for rr, ref in zip(res, out_refs):
+        ref[0, 0, 0] = rr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("want_idx", "tq", "blk", "interpret"),
+)
+def masked_nearest_banded_pallas(query, points, masks, q_alive, band, *,
+                                 want_idx: bool = True, tq: int = 128,
+                                 blk: int = 1024, interpret: bool = False):
+    """Masked nearest neighbors with banded point-block pruning.
+
+    Exactness contract: for every query marked in ``q_alive``, any point
+    within euclidean distance ``band[r]`` of it gets an exact (d, idx);
+    results beyond ``band`` may be reported as "no neighbor" (huge d).
+    Callers must only consume the result under a ``d <= bound`` predicate
+    with ``bound <= band[r]`` (the growth loop's delta/eps_k gates).
+    Queries NOT in ``q_alive`` may return garbage (+inf-ish) — callers gate
+    on aliveness already. The pruning pays when ``points`` arrive y-sorted
+    (greenhouse restages arrays between growth segments); unsorted inputs
+    simply degrade to a full scan.
+
+    query:   [R, Q, 3] f32; points: [R, N, 3] f32; masks: [R, 1, N] bool.
+    q_alive: [R, Q] bool — queries whose results are consumed.
+    band:    [R] f32 — per-row exactness radius (traced OK).
+    Returns (d [R, 1, Q], idx [R, 1, Q]) like ``masked_nearest_pallas``.
+    """
+    r, qn = query.shape[0], query.shape[1]
+    n = points.shape[1]
+    # smaller blocks than the full-scan kernel: pruning granularity is the
+    # block, and capacities are 2048-multiples, so 1024 always divides N
+    if n % blk != 0:
+        blk = min(blk, max(256, 1 << (n - 1).bit_length()))
+        while n % blk and blk > 256:
+            blk //= 2
+    q_pad = _cdiv(qn, tq) * tq
+    n_pad = _cdiv(n, blk) * blk
+    query = jnp.pad(query.astype(jnp.float32), ((0, 0), (0, q_pad - qn),
+                                                (0, 0)))
+    alive = jnp.pad(q_alive, ((0, 0), (0, q_pad - qn)))
+    pts = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, n_pad - n),
+                                               (0, 0)))
+    valid = jnp.pad(masks[:, 0, :], ((0, 0), (0, n_pad - n)))
+    pen = jnp.where(valid, jnp.float32(0.0), jnp.float32(BIG))[:, None, :]
+    pts_t = jnp.swapaxes(pts, 1, 2)               # [R, 3, N]
+
+    n_q_tiles = q_pad // tq
+    n_blk = n_pad // blk
+
+    # per-query banded y bounds (dead/pad queries carry +inf/-inf so an
+    # all-dead tile gets lo=+inf/hi=-inf in-kernel and skips every block)
+    qy = query[:, :, 1]
+    ylo = jnp.where(alive, qy - band[:, None], jnp.inf)
+    yhi = jnp.where(alive, qy + band[:, None], -jnp.inf)
+    ylo = ylo.reshape(r, n_q_tiles, 1, tq)
+    yhi = yhi.reshape(r, n_q_tiles, 1, tq)
+    # per-block point y-range over valid points (an all-invalid block gets
+    # plo=+inf/phi=-inf and is skipped by every tile)
+    py = pts[:, :, 1].reshape(r, n_blk, blk)
+    vblk = valid.reshape(r, n_blk, blk)
+    plo = jnp.min(jnp.where(vblk, py, jnp.inf), axis=2)[:, None, :]
+    phi = jnp.max(jnp.where(vblk, py, -jnp.inf), axis=2)[:, None, :]
+
+    outs = [jax.ShapeDtypeStruct((r, n_q_tiles, 1, tq), jnp.float32)]
+    if want_idx:
+        outs.append(jax.ShapeDtypeStruct((r, n_q_tiles, 1, tq), jnp.int32))
+    out_specs = [
+        pl.BlockSpec((1, 1, 1, tq), lambda ri, qi: (ri, qi, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in outs]
+
+    res = pl.pallas_call(
+        functools.partial(_banded_kernel, n_blk=n_blk, blk=blk,
+                          want_idx=want_idx),
+        grid=(r, n_q_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, tq), lambda ri, qi: (ri, qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tq), lambda ri, qi: (ri, qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_blk), lambda ri, qi: (ri, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_blk), lambda ri, qi: (ri, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tq, 3), lambda ri, qi: (ri, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n_pad), lambda ri, qi: (ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda ri, qi: (ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=outs,
+        interpret=interpret,
+    )(ylo, yhi, plo, phi, query, pts_t, pen)
+
+    res = [x.reshape(r, 1, q_pad)[:, :, :qn] for x in res]
+    d = jnp.sqrt(jnp.maximum(res[0], 0.0))
+    if want_idx:
+        return d, jnp.minimum(res[1], n - 1)
+    return d

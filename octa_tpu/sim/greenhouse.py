@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from octa_tpu.ops.pallas_nearest import masked_nearest_pallas
+from octa_tpu.ops.pallas_nearest import (masked_nearest_banded_pallas,
+                                         masked_nearest_pallas)
 from octa_tpu.ops.pallas_segsum import segsum_onehot_pallas
 
 GEOMETRY_SIZE = 76
@@ -46,6 +47,18 @@ def _use_pallas() -> bool:
     tiles, VPU outer-product cross term); the XLA chunked scan is the
     CPU/test path. "axon" is the tunneled-TPU backend name."""
     return jax.default_backend() in ("tpu", "axon")
+
+
+def _banded() -> bool:
+    """Spatially-banded nearest scans (the cKDTree-role pruning,
+    reference ``element_mesh.py:87-218``): node/sink arrays are y-sorted at
+    segment staging (``_restage_spatial``), sink appends fill tail-most
+    free slots so the sorted prefix stays coherent, and the main
+    per-iteration scan skips point blocks outside each query tile's
+    ±delta y-band (``ops.pallas_nearest.masked_nearest_banded_pallas``).
+    Exact for every consumer (all are d <= delta/eps gated).
+    Off by default until the TPU A/B lands (OCTA_TPU_BANDED=1)."""
+    return _os.environ.get("OCTA_TPU_BANDED", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -356,11 +369,26 @@ def _append_sinks(sinks: SinkState, pos, accept, max_append=2048):
         jnp.searchsorted(cum_acc, r, side="right", method="compare_all"),
         0, sq - 1)                                        # r-th accept
     free = ~sinks.alive
-    cum_free = jnp.cumsum(free.astype(jnp.int32))         # [SC]
-    n_free = cum_free[-1]
-    slot_idx = jnp.clip(
-        jnp.searchsorted(cum_free, r, side="right", method="compare_all"),
-        0, sc - 1)                                        # r-th free slot
+    if _banded():
+        # fill TAIL-MOST free slots first: after a segment-boundary
+        # restage (alive prefix y-sorted, free slots at the tail) this
+        # keeps the sorted prefix spatially coherent for the banded scans
+        # — interior holes from deaths are only recycled once the tail is
+        # exhausted. The placed SET of sinks is identical either way;
+        # only slot assignment (and thus f32 reduction order) changes.
+        cum_free_r = jnp.cumsum(free[::-1].astype(jnp.int32))
+        n_free = cum_free_r[-1]
+        slot_idx = sc - 1 - jnp.clip(
+            jnp.searchsorted(cum_free_r, r, side="right",
+                             method="compare_all"),
+            0, sc - 1)                                    # r-th-from-end
+    else:
+        cum_free = jnp.cumsum(free.astype(jnp.int32))     # [SC]
+        n_free = cum_free[-1]
+        slot_idx = jnp.clip(
+            jnp.searchsorted(cum_free, r, side="right",
+                             method="compare_all"),
+            0, sc - 1)                                    # r-th free slot
     place = (r < n_acc) & (r < n_free)
     tgt = jnp.where(place, slot_idx, sc)
     posal = jnp.concatenate(
@@ -742,7 +770,28 @@ def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
     q = jnp.stack([q01, q01, jnp.concatenate([S.pos[1], cand], 0)])
     pts = F.pos[jnp.asarray([0, 1, 1])]
     mask1 = jnp.stack([active[0], exists[1], active[1]])
-    if _use_pallas():
+    if _use_pallas() and _banded():
+        # banded main scan: every consumer of these rows is gated on a
+        # radius bound (row 0: dist<=delta_art in _grow_core; row 1:
+        # dA[2]>eps_k in the CO2 conversion; row 2: dist<=delta_ven), so
+        # skipping point blocks beyond the per-row band is exact. Query
+        # aliveness mirrors the downstream gates: sink rows use the alive
+        # masks; the candidate suffix is consumed (via `accept`) on rows
+        # 0-1 and never on row 2.
+        ones_c = jnp.ones(cand.shape[:1], bool)
+        alive_q = jnp.stack([
+            jnp.concatenate([S.alive[0], ones_c]),
+            jnp.concatenate([S.alive[0], ones_c]),
+            jnp.concatenate([S.alive[1], jnp.zeros_like(ones_c)])])
+        band = jnp.stack([delta_art, eps_k, delta_ven]).astype(jnp.float32)
+        dd, ii = masked_nearest_banded_pallas(
+            q, pts, mask1[:, None, :], alive_q, band)
+        d_cand, i_cand = masked_nearest_pallas(
+            cand[None], F.pos[:1], exists[:1][:, None, :])
+        dA = jnp.stack([dd[0, 0], dd[2, 0], dd[1, 0]])
+        iA = jnp.stack([ii[0, 0], ii[2, 0], ii[1, 0]])
+        d_cand_art, i_cand_art = d_cand[0, 0], i_cand[0, 0]
+    elif _use_pallas():
         dd, ii = masked_nearest_pallas(q, pts, mask1[:, None, :])
         d_cand, i_cand = masked_nearest_pallas(
             cand[None], F.pos[:1], exists[:1][:, None, :])
@@ -1112,6 +1161,12 @@ class Greenhouse:
                         else -(-scap // 2048) * 2048)
                 scap = min(max(scap, 1024), self.sink_capacity)
                 seg_state = _resize_sinks(_resize_forests(state, cap), scap)
+                if _banded():
+                    # y-sort node slots / compact+y-sort sink slots so the
+                    # banded scans' per-block y-ranges are narrow for the
+                    # whole segment (in-segment appends land at the tail
+                    # and degrade only their own blocks to full scans)
+                    seg_state = _restage_spatial(seg_state)
                 if self._batch_sharding is not None:
                     # the eager resize pads can drop the batch sharding;
                     # re-pin so the segment compiles SPMD over `data`
@@ -1288,6 +1343,51 @@ class Greenhouse:
 
 def _pow2ceil(n: int) -> int:
     return 1 << (max(int(n), 1) - 1).bit_length()
+
+
+def _ysort_forest(f: ForestState) -> ForestState:
+    """Permute one (unbatched) forest's node slots into y order (existing
+    nodes ascending by pos.y, empty slots at the tail), remapping the
+    parent/first_child pointers through the permutation. The tree is
+    pointer-addressed (no child-contiguity assumption anywhere), so this
+    is a pure relabeling: distances, Murray sweeps, edge extraction and
+    growth semantics are unchanged — only nearest-scan argmin tie-breaks
+    between exactly equidistant nodes can differ."""
+    nc = f.pos.shape[-2]
+    exists = jnp.arange(nc) < f.n_nodes
+    key = jnp.where(exists, f.pos[:, 1], jnp.inf)
+    perm = jnp.argsort(key, stable=True)
+    inv = jnp.zeros((nc,), jnp.int32).at[perm].set(
+        jnp.arange(nc, dtype=jnp.int32), unique_indices=True)
+
+    def remap(p):
+        return jnp.where(p >= 0, inv[jnp.clip(p, 0, nc - 1)], -1)
+
+    return ForestState(
+        pos=f.pos[perm], radius=f.radius[perm],
+        parent=remap(f.parent[perm]),
+        first_child=remap(f.first_child[perm]),
+        n_children=f.n_children[perm], is_root=f.is_root[perm],
+        n_nodes=f.n_nodes, kappa=f.kappa[perm], pkappa=f.pkappa[perm])
+
+
+def _ysort_sinks(s: SinkState) -> SinkState:
+    """Compact one (unbatched) sink array: alive sinks ascending by pos.y,
+    dead (= free) slots at the tail. With ``_append_sinks``'s tail-most
+    fill, the alive prefix stays y-coherent for the whole next segment."""
+    key = jnp.where(s.alive, s.pos[:, 1], jnp.inf)
+    perm = jnp.argsort(key, stable=True)
+    return SinkState(pos=s.pos[perm], alive=s.alive[perm])
+
+
+@jax.jit
+def _restage_spatial(state: GrowthState) -> GrowthState:
+    """Spatial restage at segment boundaries (banded-scan support): y-sort
+    node slots and compact+y-sort sink slots, batched. See ``_banded``."""
+    vf = jax.vmap(_ysort_forest)
+    vs = jax.vmap(_ysort_sinks)
+    return state._replace(art=vf(state.art), ven=vf(state.ven),
+                          oxy=vs(state.oxy), co2=vs(state.co2))
 
 
 def _resize_forests(state: GrowthState, cap: int) -> GrowthState:
