@@ -757,6 +757,16 @@ def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
         k_cand, n_cand, faz_center, state.faz_radius, size_z,
         nerve_center=nerve_center, nerve_radius=nerve_radius,
         geometry=geometry)
+    if _banded():
+        # y-sort the candidates so their query tiles are spatially
+        # coherent in every banded scan below. The candidates are iid
+        # uniform draws, so any data-independent reordering leaves the
+        # joint distribution — including the order-sensitive blocked
+        # greedy's accepted-set distribution — unchanged (exchangeability);
+        # individual seeds shift at statistical-parity scale only.
+        order = jnp.argsort(cand[:, 1])
+        cand = cand[order]
+        valid = valid[order]
 
     # --- fused nearest-neighbor pass. Two single-mask calls replace the
     # five separate distance scans of the unstacked form, sized so every
@@ -786,8 +796,13 @@ def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
         band = jnp.stack([delta_art, eps_k, delta_ven]).astype(jnp.float32)
         dd, ii = masked_nearest_banded_pallas(
             q, pts, mask1[:, None, :], alive_q, band)
-        d_cand, i_cand = masked_nearest_pallas(
-            cand[None], F.pos[:1], exists[:1][:, None, :])
+        # candidate rejection is gated on d <= max(eps_n, eps_k) (and the
+        # nearest trunk's oxygen radius, which only matters when that
+        # predicate already holds), so it bands exactly too
+        d_cand, i_cand = masked_nearest_banded_pallas(
+            cand[None], F.pos[:1], exists[:1][:, None, :],
+            jnp.ones(cand.shape[:1], bool)[None],
+            jnp.maximum(eps_n, eps_k)[None].astype(jnp.float32))
         dA = jnp.stack([dd[0, 0], dd[2, 0], dd[1, 0]])
         iA = jnp.stack([ii[0, 0], ii[2, 0], ii[1, 0]])
         d_cand_art, i_cand_art = d_cand[0, 0], i_cand[0, 0]
@@ -814,7 +829,15 @@ def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
     near_bad = (d_cand_art <= jnp.maximum(eps_n, eps_k)) & (d_cand_art <= oxy_d)
     valid &= ~near_bad
     # reject near existing oxygen sinks
-    if _use_pallas():
+    if _use_pallas() and _banded():
+        # consumed only through `d_oxy > eps_s`, so eps_s-banded is exact;
+        # the sink array's alive prefix is y-sorted between restages and
+        # the candidates were y-sorted above
+        d_oxy = masked_nearest_banded_pallas(
+            cand[None], S.pos[0][None], S.alive[0][None, None],
+            jnp.ones(cand.shape[:1], bool)[None],
+            eps_s[None].astype(jnp.float32), want_idx=False)[0, 0]
+    elif _use_pallas():
         d_oxy = masked_nearest_pallas(
             cand[None], S.pos[0][None], S.alive[0][None, None],
             want_idx=False)[0, 0]

@@ -165,6 +165,29 @@ def test_ysort_sinks_compacts_alive_prefix(tiny_state):
     assert old_set == new_set
 
 
+def test_banded_growth_statistical_parity(tiny_state, monkeypatch):
+    """Growth with OCTA_TPU_BANDED=1 on CPU exercises the restage +
+    tail-append + candidate-y-sort machinery with full scans (the banded
+    kernel itself is TPU-only and covered above + by the hardware A/B).
+    The changes are reorderings (exchangeable candidates, sink slot
+    assignment), so results must agree at statistical-parity scale."""
+    monkeypatch.setenv("OCTA_TPU_BANDED", "1")
+    state_b = _tiny_grown_state()
+    n_ref = np.asarray(tiny_state.art.n_nodes) + np.asarray(
+        tiny_state.ven.n_nodes)
+    n_b = np.asarray(state_b.art.n_nodes) + np.asarray(state_b.ven.n_nodes)
+    # tiny schedule => wide tolerance; the docker-schedule TPU A/B gates
+    # the production scale at ~0.1-1%
+    assert abs(int(n_b[0]) - int(n_ref[0])) / int(n_ref[0]) < 0.3, \
+        (n_b, n_ref)
+    # the growth is real and the restaged/banded pointers stayed sane
+    f = state_b.art
+    n = int(f.n_nodes[0])
+    assert n > 8
+    par = np.asarray(f.parent[0, :n])
+    assert ((par >= -1) & (par < n)).all()
+
+
 def test_append_sinks_tail_fill_places_same_set(monkeypatch):
     rng = np.random.default_rng(5)
     sc, sq = 256, 64
