@@ -36,7 +36,9 @@ import time
 import numpy as np
 import yaml
 
-PROBE_TIMEOUT = 75      # seconds for the 256² matmul outage probe
+PROBE_TIMEOUT = 150     # seconds for the 256² matmul outage probe
+# (a degraded-but-alive tunnel was measured taking ~118 s for first
+# device contact on 2026-08-19; 75 s misclassified it as an outage)
 TOTAL_WALL = 900        # hard budget for the whole bench (≤ 15 min)
 E2E_TIMEOUT = 620       # cap: warmup + up-to-4 timed reps fits comfortably
 ADAPT_RESERVE = 280     # wall kept back for the fallback scope
@@ -483,7 +485,7 @@ def main(scope: str = "e2e"):
 
 def _orchestrate():
     """Driver-proof orchestration with a hard 900-s (15-min) wall budget:
-      1. 75-s-bounded 256² matmul probe in a subprocess; on outage print a
+      1. 150-s-bounded 256² matmul probe in a subprocess; on outage print a
          tpu_unavailable JSON line immediately (CLAUDE.md documents
          multi-hour tunnel outages — never hang the driver on one).
       2. e2e scope (budget = what the probe left minus the fallback
