@@ -17,15 +17,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Driver-proofing (the TPU sits behind a flaky shared tunnel; multi-hour
 outages are documented in CLAUDE.md): the orchestrator first runs a
-60-s-bounded 256² matmul probe in a subprocess; on outage it prints a
-`tpu_unavailable` JSON line immediately instead of hanging. Each scope
-gets a hard subprocess timeout, and the scope process itself watches an
-OCTA_BENCH_DEADLINE so it emits its JSON line before the kill. The scopes
-additionally FLUSH provisional JSON lines mid-warmup (after growth, and
-after full warmup) so that even a fully cold persistent compile cache —
-where remote compiles alone can eat ~10 min (observed: 424.5 s for the
-growth warmup) — still salvages a measured number. Hard total wall:
-900 s (probes + e2e + fallback all draw from one budget pool).
+150-s-bounded 256² matmul probe in a subprocess; on outage it prints a
+`tpu_unavailable` JSON line immediately instead of hanging. It then times
+the CHEAP adapt+segment scope FIRST (seconds warm; it also exercises the
+shipped trained weights, producing a fresh dice rider), and only then the
+full generate→adapt→segment e2e scope whose growth warmup can eat ~7 min
+of remote compiles from a cold cache (observed 424.5 s at r4 — four
+rounds of driver captures were lost to running it first). Each scope gets
+a hard subprocess timeout, and the scope process itself watches an
+OCTA_BENCH_DEADLINE so it emits its JSON line before the kill; scopes
+additionally FLUSH provisional JSON lines mid-warmup. Every line that is
+not a clean e2e measurement carries the adapt+segment timing/dice (when
+measured) plus the last committed full e2e measurement as context. Hard
+total wall: 900 s (probe + both scopes draw from one budget pool).
 """
 from __future__ import annotations
 
@@ -41,8 +45,18 @@ PROBE_TIMEOUT = 150     # seconds for the 256² matmul outage probe
 # device contact on 2026-08-19; 75 s misclassified it as an outage)
 TOTAL_WALL = 900        # hard budget for the whole bench (≤ 15 min)
 E2E_TIMEOUT = 620       # cap: warmup + up-to-4 timed reps fits comfortably
-ADAPT_RESERVE = 280     # wall kept back for the fallback scope
+ADAPT_BUDGET = 280      # adapt+segment scope runs FIRST with this cap
 DEADLINE_MARGIN = 45    # scope emits JSON this long before its kill
+
+# Last committed full e2e measurement (docs/PERF_LOG.md) — attached as
+# context to any line that is not itself a clean e2e number, so a
+# degraded-tunnel capture still records what the pipeline measures when
+# the tunnel is healthy.
+LAST_BANKED = {
+    "value": 0.905, "vs_baseline": 1.737, "unit": "img/s/chip",
+    "date": "2026-08-19", "commit": "3c0d568",
+    "metric": "e2e_generate_adapt_segment_1216px_images_per_sec_per_chip",
+}
 
 
 def _deadline() -> float:
@@ -488,18 +502,21 @@ def _orchestrate():
       1. 150-s-bounded 256² matmul probe in a subprocess; on outage print a
          tpu_unavailable JSON line immediately (CLAUDE.md documents
          multi-hour tunnel outages — never hang the driver on one).
-      2. e2e scope (budget = what the probe left minus the fallback
-         reserve, capped at 620 s; the scope flushes provisional lines
-         after growth warmup and after full warmup, so even a cold-cache
-         kill salvages a measured number), then
-      3. adapt+segment fallback (remaining wall) — only when e2e yielded
-         nothing or only a provisional line.
+      2. adapt+segment scope FIRST (cheap: seconds warm, and it exercises
+         the shipped trained weights so the dice riders are fresh) with a
+         280-s cap — on a degraded tunnel this is the number that gets
+         banked instead of nothing.
+      3. e2e scope (remaining wall, capped at 620 s; the scope flushes
+         provisional lines after growth warmup and after full warmup, so
+         even a cold-cache kill salvages a measured number).
     Preference order for the single printed line: non-provisional e2e >
     non-provisional adapt+segment (annotated with the e2e provisional if
     one exists) > provisional e2e > provisional adapt+segment > a
-    bench_unavailable diagnostic. Each scope runs in a fresh process
-    because a device fault wedges the whole JAX client. Prints exactly
-    one JSON line."""
+    bench_unavailable diagnostic. Any line that is not a clean e2e
+    measurement carries the measured adapt+segment value/dice and the
+    LAST_BANKED committed e2e as context. Each scope runs in a fresh
+    process because a device fault wedges the whole JAX client. Prints
+    exactly one JSON line."""
     import subprocess
     import sys
 
@@ -547,6 +564,7 @@ def _orchestrate():
         print(json.dumps({
             "metric": "bench_unavailable", "value": 0.0,
             "unit": "img/s/chip", "vs_baseline": 0.0,
+            "last_banked_e2e": LAST_BANKED,
             "diagnostic": "tpu_unavailable: 256^2 matmul probe failed "
                           f"within {PROBE_TIMEOUT}s (shared-tunnel outage; "
                           "see CLAUDE.md environment hazards)"}))
@@ -562,27 +580,48 @@ def _orchestrate():
         return rec is not None and "provisional" not in str(
             rec.get("note", ""))
 
-    e2e_budget = min(E2E_TIMEOUT, t_end - time.time() - ADAPT_RESERVE)
-    e2e = _parse(run_scope("e2e", max(e2e_budget, 60)))
+    # Cheap scope FIRST: warm adapt+segment is seconds; even a cold compile
+    # fits the cap, and its riders give a fresh trained-weights dice.
+    adapt = _parse(run_scope(
+        "adapt_segment",
+        max(min(ADAPT_BUDGET, t_end - time.time() - 240), 120)))
+
+    def _attach_adapt(rec):
+        """Fold the adapt+segment evidence into a record whose own riders
+        or timings are missing (e2e rider budget is deadline-gated)."""
+        if adapt is None:
+            return
+        if _is_final(adapt):
+            rec.setdefault("adapt_segment_value", adapt.get("value"))
+        if rec.get("dice") is None:
+            rec["dice"] = adapt.get("dice")
+        if rec.get("dice_clean") is None:
+            rec["dice_clean"] = adapt.get("dice_clean")
+
+    e2e = None
+    if t_end - time.time() > 120:
+        e2e = _parse(run_scope(
+            "e2e", max(min(E2E_TIMEOUT, t_end - time.time() - 20), 60)))
     if _is_final(e2e):
+        _attach_adapt(e2e)
         print(json.dumps(e2e))
         return
-    adapt = None
-    if t_end - time.time() > 90:
-        adapt = _parse(run_scope("adapt_segment",
-                                 min(340, t_end - time.time())))
     if _is_final(adapt):
         if e2e is not None:  # keep the growth-stage evidence alongside
             adapt["e2e_provisional"] = e2e.get("value")
             adapt["e2e_provisional_note"] = e2e.get("note")
+        adapt["last_banked_e2e"] = LAST_BANKED
         print(json.dumps(adapt))
         return
     for rec in (e2e, adapt):  # provisional beats nothing
         if rec is not None:
+            _attach_adapt(rec)
+            rec["last_banked_e2e"] = LAST_BANKED
             print(json.dumps(rec))
             return
     print(json.dumps({"metric": "bench_unavailable", "value": 0.0,
                       "unit": "img/s/chip", "vs_baseline": 0.0,
+                      "last_banked_e2e": LAST_BANKED,
                       "diagnostic": "scopes failed despite live probe"}))
 
 

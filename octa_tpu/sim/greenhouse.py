@@ -759,12 +759,14 @@ def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
         geometry=geometry)
     if _banded():
         # y-sort the candidates so their query tiles are spatially
-        # coherent in every banded scan below. The candidates are iid
-        # uniform draws, so any data-independent reordering leaves the
-        # joint distribution — including the order-sensitive blocked
-        # greedy's accepted-set distribution — unchanged (exchangeability);
-        # individual seeds shift at statistical-parity scale only.
+        # coherent in every banded scan below. The sort is DATA-dependent,
+        # and _blocked_greedy_spacing is order-sensitive (y-sorting packs
+        # spatially-near candidates into the same block, inflating
+        # intra-block over-rejection — round-4 advisor finding), so the
+        # greedy below runs in the ORIGINAL sample order via `order`/its
+        # inverse and only the distance scans see the sorted layout.
         order = jnp.argsort(cand[:, 1])
+        inv_order = jnp.argsort(order)
         cand = cand[order]
         valid = valid[order]
 
@@ -845,8 +847,15 @@ def _iteration(state: StackedState, mp: ModeParams, i, t, d_start, *,
         d_oxy = _chunked_min_dist_subset(cand, S.pos[0], S.alive[0],
                                          chunk=chunk)
     valid &= d_oxy > eps_s
-    # mutual spacing (blocked greedy)
-    accept = _blocked_greedy_spacing(cand, valid, eps_s)
+    # mutual spacing (blocked greedy) — order-sensitive, so under the
+    # banded layout it runs in the ORIGINAL candidate order (identical
+    # accept decisions to the unbanded arm at the same seed) and the mask
+    # is permuted back to the sorted layout; two n_cand-sized gathers.
+    if _banded():
+        accept = _blocked_greedy_spacing(
+            cand[inv_order], valid[inv_order], eps_s)[order]
+    else:
+        accept = _blocked_greedy_spacing(cand, valid, eps_s)
 
     # --- 2+4. stacked growth: arterial on [oxy; accepted cand], venous on
     # [co2; -] ---
@@ -1024,6 +1033,48 @@ def init_forest_stumps(rng: np.random.Generator, n_trees: int,
         jnp.asarray(kap), jnp.asarray(kap))
 
 
+def init_forest_nerve(rng: np.random.Generator, n_trees: int, d0: float,
+                      r0: float, nerve_center: np.ndarray,
+                      nerve_radius: float, size_z: float,
+                      node_capacity: int) -> ForestState:
+    """'nerve' initialization (``forest.py:38-66``): every tree root packed
+    inside the optic-nerve disc (uniform over the disc via sqrt-radius
+    sampling), z uniform over the slab, first segment a random in-plane
+    (z=0) unit direction scaled by d0. The reference swaps the center
+    components (x uses nerve_center[1], y uses nerve_center[0] —
+    ``forest.py:58-59``); replicated for parity. Host-side numpy (tiny)."""
+    pos = np.zeros((node_capacity, 3), np.float32)
+    radius = np.zeros((node_capacity,), np.float32)
+    parent = np.full((node_capacity,), -1, np.int32)
+    first_child = np.full((node_capacity,), -1, np.int32)
+    n_children = np.zeros((node_capacity,), np.int32)
+    is_root = np.zeros((node_capacity,), bool)
+    kap = np.full((node_capacity,), 4.0, np.float32)
+    i = 0
+    for _ in range(n_trees):
+        alpha = 2 * np.pi * rng.random()
+        rr = nerve_radius * np.sqrt(rng.random())
+        p = np.array([rr * np.cos(alpha) + nerve_center[1],
+                      rr * np.sin(alpha) + nerve_center[0],
+                      rng.random() * size_z])
+        direction = np.array([rng.random() - 0.5, rng.random() - 0.5, 0.0])
+        direction = direction / np.linalg.norm(direction) * d0
+        pos[i] = p
+        radius[i] = r0
+        is_root[i] = True
+        n_children[i] = 1
+        first_child[i] = i + 1
+        pos[i + 1] = p + direction
+        radius[i + 1] = r0
+        parent[i + 1] = i
+        i += 2
+    return ForestState(
+        jnp.asarray(pos), jnp.asarray(radius), jnp.asarray(parent),
+        jnp.asarray(first_child),
+        jnp.asarray(n_children), jnp.asarray(is_root), jnp.int32(i),
+        jnp.asarray(kap), jnp.asarray(kap))
+
+
 class Greenhouse:
     """Config-driven growth driver (reference ``Greenhouse``,
     ``greenhouse.py:15-137``), batched: ``develop_forest(batch)`` grows
@@ -1082,15 +1133,35 @@ class Greenhouse:
                    node_capacity: int | None = None,
                    sink_capacity: int | None = None) -> GrowthState:
         rng = np.random.default_rng(rng_seed)
-        if forest_config.get("type", "stumps") != "stumps":
-            raise NotImplementedError(
-                "only 'stumps' forest initialization is implemented")
+        ftype = forest_config.get("type", "stumps")
         cap = node_capacity or self.node_capacity
-        walls = [k for k, v in forest_config["source_walls"].items() if v]
-        art = init_forest_stumps(rng, forest_config["N_trees"], walls,
-                                 self.d, self.r, self.sizes, cap)
-        ven = init_forest_stumps(rng, forest_config["N_trees"], walls,
-                                 self.d, self.r, self.sizes, cap)
+        if ftype == "stumps":
+            walls = [k for k, v in forest_config["source_walls"].items() if v]
+            art = init_forest_stumps(rng, forest_config["N_trees"], walls,
+                                     self.d, self.r, self.sizes, cap)
+            ven = init_forest_stumps(rng, forest_config["N_trees"], walls,
+                                     self.d, self.r, self.sizes, cap)
+        elif ftype == "nerve":
+            # The reference passes greenhouse.nerve_center/_radius (raw
+            # config values / param_scale, independent of the geometry
+            # carve gate) into Forest — generate_vessel_graph.py:33-34,
+            # greenhouse.py:28-29.
+            if ("nerve_center" not in self.config
+                    or "nerve_radius" not in self.config):
+                raise ValueError(
+                    "forest type 'nerve' needs Greenhouse.nerve_center and "
+                    "Greenhouse.nerve_radius in the config")
+            nc = (np.asarray(self.config["nerve_center"], np.float32)
+                  / self.param_scale)
+            nr = float(self.config["nerve_radius"]) / self.param_scale
+            art = init_forest_nerve(rng, forest_config["N_trees"], self.d,
+                                    self.r, nc, nr, self.sizes[2], cap)
+            ven = init_forest_nerve(rng, forest_config["N_trees"], self.d,
+                                    self.r, nc, nr, self.sizes[2], cap)
+        else:
+            raise NotImplementedError(
+                f"forest initialization type {ftype!r} is not implemented; "
+                "use 'stumps' or 'nerve' (reference forest.py:31-36)")
         sc = sink_capacity or self.sink_capacity
         empty = SinkState(jnp.zeros((sc, 3), jnp.float32),
                           jnp.zeros((sc,), bool))
@@ -1266,8 +1337,15 @@ class Greenhouse:
                 all_stats.append(stats)
         if final_murray_sweeps:
             state = self._final_murray(state, final_murray_sweeps)
+        if grown != batch:
+            # Mesh padding is purely internal: slice back to the requested
+            # batch so callers iterating the leading axis never see the
+            # padded samples (whose seeds self.seed+i, i>=batch would
+            # collide with the next chunk's seeds downstream).
+            state = jax.tree.map(lambda x: x[:batch], state)
         if collect_stats:
-            return state, jnp.concatenate(all_stats, axis=1)
+            stats_out = jnp.concatenate(all_stats, axis=1)
+            return state, stats_out[:batch]
         return state
 
     def _final_murray(self, state: GrowthState, sweeps: int) -> GrowthState:

@@ -59,6 +59,7 @@ EOF
         || [ -n "$(git ls-files --others -- docker/trained_models)" ]; then
       git add docker/trained_models \
         && git commit -q -m "Ship S-GAN recipe checkpoints (auto, per-attempt)" \
+          -- docker/trained_models \
         && echo "=== committed shipped checkpoints ===" \
         || echo "=== ship commit FAILED (non-fatal) ==="
     fi

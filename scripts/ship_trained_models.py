@@ -88,13 +88,19 @@ ship = {
     g_src: f"docker/trained_models/GAN/{epoch}_G_model.ckpt",
     s_src: f"docker/trained_models/ves_seg-S-GAN/{epoch}_model.ckpt",
 }
+# No-regress check for ALL destinations BEFORE copying anything: the
+# shipped G/segmentor pair must be replaced atomically as a unit — a
+# per-destination check inside the copy loop could replace the generator
+# and then bail on the segmentor, leaving a mismatched pair (round-4
+# advisor finding).
+for dst in ship.values():
+    have = shipped_epoch(os.path.dirname(dst))
+    if have > epoch:
+        sys.exit(f"ship: shipped epoch {have} in {os.path.dirname(dst)} is "
+                 f"ahead of candidate epoch {epoch}; refusing to regress")
 for src, dst in ship.items():
     dst_dir = os.path.dirname(dst)
     os.makedirs(dst_dir, exist_ok=True)
-    have = shipped_epoch(dst_dir)
-    if have > epoch:
-        sys.exit(f"ship: shipped epoch {have} in {dst_dir} is ahead of "
-                 f"candidate epoch {epoch}; refusing to regress")
     tmp = os.path.join(dst_dir, ".ship_tmp.ckpt")
     shutil.copyfile(src, tmp)
     load_checkpoint(tmp)  # verify the copy itself deserializes

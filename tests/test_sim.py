@@ -197,3 +197,71 @@ def test_murray_uses_per_node_kappa():
     # leaves and the root keep their radii
     assert float(out.radius[0]) == 1.0
     assert float(out.radius[2]) == pytest.approx(0.2)
+
+
+def test_nerve_forest_initialization():
+    """'nerve' init (reference forest.py:38-66): all roots inside the
+    optic-nerve disc (uniform via sqrt-radius), z in [0, size_z], first
+    segments in-plane with length d0; the forest then grows."""
+    # an in-FOV optic nerve (CONFIG's sits outside the unit space, the
+    # carve-gated case): center (0.9, 0.9), radius 0.1 after param_scale
+    cfg = dict(CONFIG, nerve_center=[2.7, 2.7], nerve_radius=0.3)
+    forest = {"type": "nerve", "N_trees": 6}
+    g = gh.Greenhouse(cfg, node_capacity=2048, sink_capacity=1024, seed=3)
+    state = g.init_state(forest, rng_seed=3)
+    nc = np.asarray(cfg["nerve_center"], np.float32) / cfg["param_scale"]
+    nr = cfg["nerve_radius"] / cfg["param_scale"]
+    for f in (state.art, state.ven):
+        n = int(np.asarray(f.n_nodes))
+        assert n == 2 * forest["N_trees"]
+        pos = np.asarray(f.pos)[:n]
+        roots = np.asarray(f.is_root)[:n]
+        assert roots.sum() == forest["N_trees"]
+        rp = pos[roots]
+        # packed in the disc — note the reference's swapped center
+        # components (x ~ nerve_center[1], y ~ nerve_center[0])
+        d = np.hypot(rp[:, 0] - nc[1], rp[:, 1] - nc[0])
+        assert (d <= nr + 1e-6).all(), d
+        assert (rp[:, 2] >= 0).all() and (rp[:, 2] <= g.sizes[2]).all()
+        # stump segments: in-plane, length d0
+        sp = pos[~roots]
+        seg = sp - rp
+        assert np.allclose(seg[:, 2], 0.0)
+        assert np.allclose(np.linalg.norm(seg, axis=1), g.d, rtol=1e-5)
+        # radii initialized to r0 on roots and stumps
+        assert np.allclose(np.asarray(f.radius)[:n], g.r)
+    # and the grown forest is viable end-to-end
+    out = g.develop_forest(forest, batch=1)
+    assert int(np.asarray(out.art.n_nodes)[0]) > 2 * forest["N_trees"]
+
+
+def test_bundled_geometry_asset_loads_and_grows():
+    """The shipped sampling-geometry asset (reference
+    ``geometries/slab_oxy_sample_3mm.npy``, loaded by
+    ``simulation_space.py:29-37``) drives the docker-schedule growth via
+    ``SimulationSpace.oxygen_sample_geometry_path``."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(gh.__file__))), "sim", "geometries",
+        "slab_oxy_sample_3mm.npy")
+    assert os.path.exists(path), path
+    geo = np.load(path)
+    assert geo.shape == (76, 76, 1) and geo.dtype == bool
+    # FAZ voxels are carved out, the rest is open
+    assert 0.97 < geo.mean() < 1.0
+    cfg = dict(CONFIG)
+    cfg["SimulationSpace"] = dict(
+        CONFIG["SimulationSpace"], oxygen_sample_geometry_path=path)
+    g = gh.Greenhouse(cfg, node_capacity=2048, sink_capacity=1024, seed=5)
+    assert g.geometry is not None and g.geometry.shape == (76, 76)
+    assert g.sizes[0] == 1.0 and g.sizes[2] == pytest.approx(1 / 76)
+    out = g.develop_forest(FOREST, batch=1)
+    assert int(np.asarray(out.art.n_nodes)[0]) > 30
+
+
+def test_nerve_forest_requires_nerve_config():
+    cfg = {k: v for k, v in CONFIG.items()
+           if k not in ("nerve_center", "nerve_radius")}
+    g = gh.Greenhouse(cfg, node_capacity=2048, sink_capacity=1024, seed=3)
+    with pytest.raises(ValueError, match="nerve_center"):
+        g.init_state({"type": "nerve", "N_trees": 2}, rng_seed=0)
