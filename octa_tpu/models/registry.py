@@ -45,14 +45,24 @@ def _frangi_ctor(**kw):
 
 
 def _oof_ctor(**kw):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
     from octa_tpu.ops.filters import oof
 
-    def run(img):
-        assert img.shape[0] == 1
-        out = oof(img[0, 0] * 255.0, **kw)
-        out = out + out.max()
-        out = out / out.max()
-        return out[None, None]
+    # Batched: the reference asserts batch==1 (``models/oof.py:37``); we
+    # vmap the per-image FFT filter over the batch and apply the
+    # reference's per-image normalization (``oof.py:40-41``) per sample.
+    batched = jax.jit(jax.vmap(functools.partial(oof, **kw)))
+
+    def run(img):  # [B, C, H, W] -> [B, C, H, W]
+        out = batched(img[:, 0] * 255.0)
+        mx = jnp.max(out, axis=(1, 2), keepdims=True)
+        out = out + mx
+        out = out / jnp.max(out, axis=(1, 2), keepdims=True)
+        return out[:, None]
 
     return run
 

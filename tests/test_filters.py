@@ -94,3 +94,20 @@ def test_frangi_matches_scipy_oracle(rng):
     assert np.abs(ours - result).max() < 1e-4
     c = np.corrcoef(ours.ravel(), result.ravel())[0, 1]
     assert c > 0.999
+
+
+def test_oof_registry_batched(rng):
+    """The OOF registry wrapper beats the reference's batch-1 assert
+    (``models/oof.py:37``): batch-B input is vmapped, and each sample's
+    normalization (``oof.py:40-41``) matches the per-image result."""
+    from octa_tpu.models.registry import _oof_ctor
+
+    run = _oof_ctor()
+    imgs = np.stack([_vessel_image(rng), _vessel_image(rng) * 0.5])
+    batched = np.asarray(run(jnp.asarray(imgs)[:, None]))
+    assert batched.shape == (2, 1) + imgs.shape[1:]
+    for i in range(2):
+        single = np.asarray(run(jnp.asarray(imgs[i])[None, None]))[0]
+        assert np.allclose(batched[i], single, atol=1e-5)
+    # normalized to [~0, 1] with max exactly 1 per sample
+    assert np.allclose(batched.max(axis=(1, 2, 3)), 1.0, atol=1e-5)
