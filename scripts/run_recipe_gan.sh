@@ -15,7 +15,21 @@ BASE_ARGS=(--Train.epochs "$EPOCHS" --Train.epochs_decay 0
   --Train.batch_size 2
   --Output.save_dir "$OUT")
 
+probe_tpu() {
+  # 120s-bounded tiny-matmul device probe in a throwaway process (the
+  # tunnel has documented multi-hour outages; a train.py launched into one
+  # hangs on first device contact and burns its whole 7200s attempt).
+  timeout 120 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256))
+print(float(jnp.sum(x @ x)))" >/dev/null 2>&1
+}
+
 for attempt in $(seq 1 40); do
+  until probe_tpu; do
+    echo "=== TPU probe failed (tunnel outage) — re-probing in 120s ==="
+    sleep 120
+  done
   read -r last rundir <<< "$(python - "$OUT" <<'EOF'
 import csv, glob, sys
 best, bdir = 0, ""
