@@ -24,11 +24,14 @@ cfg_path = (sys.argv[2] if len(sys.argv) > 2
             else "docker/vessel_graph_gen_docker_config.yml")
 
 
-def run_arm(banded: bool):
+def run_arm(banded: bool, bf16: bool = False):
     env = dict(os.environ)
     env.pop("OCTA_TPU_BANDED", None)
+    env.pop("OCTA_TPU_PEN_BF16", None)
     if banded:
         env["OCTA_TPU_BANDED"] = "1"
+    if bf16:
+        env["OCTA_TPU_PEN_BF16"] = "1"
     code = f"""
 import json, time, sys
 sys.path.insert(0, {repo!r})
@@ -76,9 +79,9 @@ print("RESULT " + json.dumps(dict(
 
 
 base = run_arm(False)
-print("full  :", base)
+print("full      :", base, flush=True)
 band = run_arm(True)
-print("banded:", band)
+print("banded    :", band, flush=True)
 
 na_b, na_f = band["nodes_art"], base["nodes_art"]
 rel = [abs(a - b) / max(b, 1) for a, b in zip(na_b, na_f)]
@@ -87,4 +90,20 @@ print(f"\nspeedup: {base['best'] / band['best']:.3f}x "
 print(f"node-count rel delta: max {max(rel):.4f} "
       f"(statistical-parity scale is ~0.001-0.01)")
 print(f"radius sum rel delta: "
-      f"{abs(band['rad_sum'] - base['rad_sum']) / base['rad_sum']:.5f}")
+      f"{abs(band['rad_sum'] - base['rad_sum']) / base['rad_sum']:.5f}",
+      flush=True)
+
+# Second gate in the same window: bf16 penalties in the unbanded nearest
+# kernel (OCTA_TPU_PEN_BF16, ops/pallas_nearest.py — halves the mask
+# input's HBM write+read; banded kernels keep f32 pens). Measure it on
+# top of each layout so whichever banded default wins has its bf16
+# decision too.
+for arm_banded, name in ((False, "full+bf16  "), (True, "banded+bf16")):
+    ref = band if arm_banded else base
+    b16 = run_arm(arm_banded, bf16=True)
+    print(f"{name}:", b16, flush=True)
+    rel16 = [abs(a - b) / max(b, 1)
+             for a, b in zip(b16["nodes_art"], ref["nodes_art"])]
+    print(f"  vs f32-pen: speedup {ref['best'] / b16['best']:.3f}x "
+          f"({ref['ms_per_sample']} -> {b16['ms_per_sample']} ms/sample), "
+          f"node rel delta max {max(rel16):.4f}", flush=True)
