@@ -76,7 +76,7 @@ read -r last rundir <<< "$(latest_state)"
 echo "=== final epoch $last (run $rundir); validate.py reproduction ==="
 for try in 1 2 3; do
   timeout 1800 python validate.py --config_file "$rundir/config.yml" \
-    --epoch latest && break
+    --epoch latest --General.inference S && break
   echo "=== validate attempt $try failed; retry in 60s ==="
   sleep 60
 done
